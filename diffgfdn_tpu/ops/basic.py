@@ -1,0 +1,244 @@
+"""Basic DSP / math utilities (JAX-first).
+
+Functional parity targets (behaviour studied, not copied, from the reference):
+* db / db2lin / ms_to_samps / samps_to_ms / hertz2rad / rad2hertz
+  (reference: src/diff_gfdn/utils.py:16-125)
+* get_frequency_samples — z points on (or outside) the unit circle
+  (reference: src/diff_gfdn/utils.py:128-141, dataloader.py:554-566)
+* schroeder_backward_int — energy decay curve (reference: losses.py:187-199)
+* decay_kernel / shaped_wgn — common-slopes envelopes and noise shaping
+  (replaces the external ``slope2noise`` dependency used by the reference)
+* spectral flatness / normalized echo density (reference: utils.py:282-358)
+
+All device-path functions are pure jnp and jit-safe; host-side analysis
+helpers (echo density) stay in numpy.
+"""
+
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_EPS_F32 = float(np.finfo(np.float32).eps)
+
+# Energy decays by 60 dB in T60 seconds: exp(-t * LOG10E6 / T60).
+LOG10E6 = float(np.log(10.0 ** 6))  # = 13.8155...
+
+
+def db(x, is_squared: bool = False, min_value: float = -200.0):
+    """Convert linear values to decibels, clipped below at ``min_value``."""
+    factor = 10.0 if is_squared else 20.0
+    x = jnp.abs(x)
+    y = factor * jnp.log10(x + _EPS_F32)
+    return jnp.clip(y, min=min_value)
+
+
+def db2lin(x, is_squared: bool = False):
+    """Convert decibels to linear scale."""
+    exp_factor = 0.1 if is_squared else 0.05
+    return jnp.power(10.0, x * exp_factor)
+
+
+def db_np(x, is_squared: bool = False, min_value: float = -200.0):
+    """Numpy twin of :func:`db` for host-side code."""
+    factor = 10.0 if is_squared else 20.0
+    y = factor * np.log10(np.abs(x) + _EPS_F32)
+    return np.clip(y, a_min=min_value, a_max=None)
+
+
+def db2lin_np(x, is_squared: bool = False):
+    """Numpy twin of :func:`db2lin` for host-side code."""
+    exp_factor = 0.1 if is_squared else 0.05
+    return np.power(10.0, np.asarray(x) * exp_factor)
+
+
+def ms_to_samps(ms, fs: float) -> Union[int, np.ndarray]:
+    """Convert milliseconds to (integer) samples."""
+    samp = np.asarray(ms) * 1e-3 * fs
+    if samp.ndim == 0:
+        return int(samp)
+    return samp.astype(np.int32)
+
+
+def samps_to_ms(samps, fs: float):
+    """Convert samples to milliseconds."""
+    return np.asarray(samps, dtype=np.float64) / fs * 1e3
+
+
+def hertz2rad(hertz, fs: float):
+    """Frequency in Hz -> normalized angular frequency in rad/sample."""
+    return 2.0 * np.pi * np.asarray(hertz, dtype=np.float64) / fs
+
+
+def rad2hertz(rad, fs: float):
+    """Normalized angular frequency in rad/sample -> Hz."""
+    return np.asarray(rad, dtype=np.float64) * fs / (2.0 * np.pi)
+
+
+def get_frequency_samples(num: int, radius: float = 1.0) -> jnp.ndarray:
+    """z points linearly spaced on the upper half circle of radius ``radius``.
+
+    These are the evaluation points of the rFFT grid: angles in [0, pi]
+    inclusive (reference: utils.py:128-141). ``radius > 1`` samples slightly
+    outside the unit circle to attenuate time-domain aliasing
+    (reference: dataloader.py:554-566).
+    """
+    angle = jnp.linspace(0.0, jnp.pi, num)
+    return radius * jnp.exp(1j * angle).astype(jnp.complex64)
+
+
+def frequency_samples_from_rad(freq_bins_rad, radius: float = 1.0) -> jnp.ndarray:
+    """z = radius * e^{j w} for an arbitrary grid of angles (rad/sample)."""
+    w = jnp.asarray(freq_bins_rad, dtype=jnp.float32)
+    return (radius * jnp.exp(1j * w)).astype(jnp.complex64)
+
+
+def to_complex(x: jnp.ndarray) -> jnp.ndarray:
+    """Promote a real array to complex64."""
+    return x.astype(jnp.complex64)
+
+
+def schroeder_backward_int(
+    signal: jnp.ndarray, normalize: bool = False, time_axis: int = -1
+) -> jnp.ndarray:
+    """Schroeder backward integral: EDC(t) = sum_{u>=t} signal(u)^2.
+
+    Implemented as flip∘cumsum∘flip of the squared signal
+    (reference: losses.py:187-199).
+    """
+    e = jnp.flip(
+        jnp.cumsum(jnp.flip(signal ** 2, axis=time_axis), axis=time_axis),
+        axis=time_axis,
+    )
+    if normalize:
+        e = e / jnp.max(e, axis=time_axis, keepdims=True)
+    return e
+
+
+def decay_kernel(
+    decay_times,
+    time_axis,
+    fs: float = None,
+    normalize_envelope: bool = False,
+    add_noise: bool = False,
+):
+    """Common-slopes energy-decay envelopes.
+
+    Returns a matrix of shape ``(len(time_axis), num_slopes [+1])`` with
+    columns ``exp(-t * ln(1e6) / T_k)`` — the energy envelope that drops
+    60 dB in T_k seconds. ``add_noise`` appends a constant (noise-floor)
+    column. ``normalize_envelope`` scales each column to unit L2 norm so
+    common-slope amplitudes are comparable across decay times.
+
+    Replaces ``slope2noise.utils.decay_kernel`` used by the reference
+    (losses.py:7, spatial_sampling/losses.py:5). Works with numpy or jnp
+    inputs; returns the corresponding array type.
+    """
+    xp = jnp if isinstance(time_axis, jnp.ndarray) else np
+    t = xp.asarray(time_axis, dtype=xp.float32).reshape(-1)
+    T = xp.asarray(decay_times, dtype=xp.float32).reshape(-1)
+    env = xp.exp(-t[:, None] * (LOG10E6 / T[None, :]))
+    if add_noise:
+        ones = xp.ones((t.shape[0], 1), dtype=env.dtype)
+        env = xp.concatenate([env, ones], axis=-1)
+    if normalize_envelope:
+        norm = xp.sqrt(xp.sum(env ** 2, axis=0, keepdims=True))
+        env = env / (norm + _EPS_F32)
+    return env
+
+
+def shaped_wgn(
+    amplitudes: jnp.ndarray,
+    decay_times,
+    num_samples: int,
+    fs: float,
+    key: jax.Array,
+    noise_floor: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Synthesize RIR tails as white Gaussian noise shaped by CS envelopes.
+
+    ``amplitudes``: (..., num_slopes) common-slope (energy) amplitudes;
+    returns (..., num_samples) pressure signals whose EDC follows
+    ``sum_k A_k exp(-t LOG10E6 / T_k)``.
+
+    Replaces ``slope2noise.shaped_wgn`` (reference:
+    spatial_sampling/inference.py:258-275). The noise is normalized per
+    sample-variance so the energy envelope is controlled purely by the
+    amplitudes.
+    """
+    t = jnp.arange(num_samples, dtype=jnp.float32) / fs
+    T = jnp.asarray(decay_times, dtype=jnp.float32).reshape(-1)
+    # energy envelope (..., num_samples)
+    env = jnp.einsum(
+        "...k,kt->...t",
+        jnp.asarray(amplitudes, dtype=jnp.float32),
+        jnp.exp(-t[None, :] * (LOG10E6 / T[:, None])),
+    )
+    if noise_floor is not None:
+        env = env + jnp.asarray(noise_floor, dtype=jnp.float32)[..., None]
+    env = jnp.maximum(env, 0.0)
+    noise = jax.random.normal(key, env.shape, dtype=jnp.float32)
+    # scale so that E[p^2](t) = env(t) * LOG10E6-independent constant;
+    # the EDC of the result then matches sum_k A_k exp(-t LOG10E6/T_k)
+    # up to the per-sample integration constant 1/fs.
+    return noise * jnp.sqrt(env)
+
+
+def spectral_flatness(X, eps: float = 1e-10) -> float:
+    """Geometric / arithmetic mean ratio of a magnitude spectrum (host)."""
+    X = np.abs(np.asarray(X))
+    geometric_mean = np.exp(np.mean(np.log(X + eps)))
+    arithmetic_mean = np.mean(X + eps)
+    return float(geometric_mean / arithmetic_mean)
+
+
+def normalized_echo_density(
+    rir: np.ndarray,
+    fs: float,
+    window_length_ms: float = 30.0,
+    window_type: str = "hann",
+    use_local_avg: bool = False,
+) -> np.ndarray:
+    """Abel's echo-density profile (host-side analysis tool).
+
+    Reference semantics: utils.py:300-358. Vectorized with a strided sliding
+    window instead of the per-cursor python loop.
+    """
+    rir = np.asarray(rir, dtype=np.float64)
+    erfc = 0.3173  # erfc(1/sqrt(2))
+    wl = ms_to_samps(window_length_ms, fs)
+    if not wl % 2:
+        wl += 1
+    half = (wl - 1) // 2
+
+    windows = {
+        "rect": np.ones(wl),
+        "hann": np.hanning(wl),
+        "hamm": np.hamming(wl),
+        "black": np.blackman(wl),
+        "bart": np.bartlett(wl),
+    }
+    if window_type not in windows:
+        raise ValueError("Unavailable window type.")
+    w = windows[window_type]
+    w = w / w.sum()
+
+    padded = np.zeros(len(rir) + 2 * half)
+    padded[half:-half] = rir
+    frames = np.lib.stride_tricks.sliding_window_view(padded, wl)[: len(rir)]
+    if use_local_avg:
+        avg = frames @ w
+        var = ((frames - avg[:, None]) ** 2) @ w
+    else:
+        var = (frames ** 2) @ w
+    std = np.sqrt(var)
+    counts = ((np.abs(frames) > std[:, None]) * w[None, :]).sum(axis=-1)
+    ned = counts / erfc
+    return ned[: len(rir) - wl] if len(rir) > wl else ned
+
+
+def hann_fade_windows(win_len_samps: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(fade_in, fade_out) half-Hann windows for early/late RIR splits."""
+    window = np.hanning(win_len_samps)
+    return window[: win_len_samps // 2], window[win_len_samps // 2 :]
