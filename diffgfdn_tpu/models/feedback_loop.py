@@ -1,0 +1,217 @@
+"""GFDN feedback loop: P(z) = (D(z) Gamma(z)^-1 - A(z))^-1 at all rFFT bins.
+
+Functional parity with the reference FeedbackLoop (feedback_loop.py:146-455),
+re-designed for XLA:
+
+* the per-bin complex inverse runs through the real-block batched inverse in
+  :mod:`diffgfdn_tpu.kernels.linalg` (K x N x N at once, no python loops);
+* the block mixing matrix ortho(M_i) @ ortho(M_j) is one batched einsum;
+* the FIR paraunitary coupling cascade is a static loop of matmuls;
+* all structural choices (coupling type, absorption mode) are static module
+  fields, so each config compiles to a single specialized XLA program.
+
+Absorption modes:
+* fixed per-line scalar gains (``gains``),
+* learnable common decay times per group (``learn_common_decay_times``),
+* fixed per-line SOS cascades fitted by the GEQ designer (``sos_coeffs``),
+* fixed per-line IIR filters fitted by warped Prony (``iir_coeffs``).
+"""
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.schema import CouplingMatrixType
+from ..kernels.linalg import cinv
+from ..ops.absorption import decay_times_to_gain_per_sample
+from ..ops.biquad import iir_frequency_response, sos_frequency_response
+from ..ops.unitary import fir_paraunitary, nd_unitary, orthogonal_from_skew
+
+
+class FeedbackLoop(nn.Module):
+    """Coupled feedback loop of the grouped FDN.
+
+    Attributes (all static; numpy arrays are baked in as constants):
+        delays: per-delay-line lengths in samples, length N.
+        gains: optional fixed per-line absorption gains (N,).
+        sos_coeffs: optional (N, n_sections, 3, 2) absorption SOS cascades.
+        iir_coeffs: optional (N, order+1, 2) absorption IIR coefficients.
+        common_decay_times_init: optional (G,) initial decay times when
+            learning them.
+        colorless_feedback_matrix_skew: optional (G, Nper, Nper) skew
+            pre-images such that expm(skew(x)) equals the colorless-FDN
+            optimised per-group feedback matrices (computed host-side).
+    """
+
+    sample_rate: float
+    num_groups: int
+    num_delay_lines_per_group: int
+    delays: Tuple[int, ...]
+    coupling_matrix_type: CouplingMatrixType = CouplingMatrixType.SCALAR
+    use_zero_coupling: bool = True
+    coupling_matrix_order: Optional[int] = None
+    learn_common_decay_times: bool = False
+    gains: Optional[np.ndarray] = None
+    sos_coeffs: Optional[np.ndarray] = None
+    iir_coeffs: Optional[np.ndarray] = None
+    common_decay_times_init: Optional[Tuple[float, ...]] = None
+    colorless_feedback_matrix_skew: Optional[np.ndarray] = None
+    trainable_feedback: bool = True
+
+    @property
+    def num_delays(self) -> int:
+        return len(self.delays)
+
+    # ------------------------------ parameters ------------------------------
+
+    def setup(self):
+        n = self.num_delays
+        nper = self.num_delay_lines_per_group
+        g = self.num_groups
+
+        if self.coupling_matrix_type == CouplingMatrixType.RANDOM:
+            self.random_feedback_matrix = self.param(
+                "random_feedback_matrix",
+                lambda key: (2.0 * jax.random.uniform(key, (n, n)) - 1.0)
+                / np.sqrt(nper),
+            )
+        else:
+            if self.colorless_feedback_matrix_skew is not None:
+                init = jnp.asarray(
+                    self.colorless_feedback_matrix_skew, dtype=jnp.float32
+                )
+                if self.trainable_feedback:
+                    self.M = self.param("M", lambda key: init)
+                else:
+                    self.M = init
+            else:
+                self.M = self.param(
+                    "M",
+                    lambda key: (2.0 * jax.random.uniform(key, (g, nper, nper)) - 1.0)
+                    / np.sqrt(nper),
+                )
+            if self.coupling_matrix_type == CouplingMatrixType.SCALAR:
+                n_alpha = g * (g - 1) // 2
+                if self.use_zero_coupling:
+                    self.alpha = jnp.zeros((n_alpha,))
+                else:
+                    self.alpha = self.param(
+                        "alpha",
+                        lambda key: np.pi / 4 * jax.random.uniform(key, (n_alpha,)),
+                    )
+            elif self.coupling_matrix_type == CouplingMatrixType.FILTER:
+                order = self.coupling_matrix_order
+                self.unit_vectors = self.param(
+                    "unit_vectors", nn.initializers.normal(1.0), (g, order - 1)
+                )
+                self.unitary_matrix = self.param(
+                    "unitary_matrix",
+                    lambda key: (2.0 * jax.random.uniform(key, (g, g)) - 1.0)
+                    / np.sqrt(g),
+                )
+
+        if self.learn_common_decay_times:
+            if self.common_decay_times_init is not None:
+                init_t = jnp.asarray(self.common_decay_times_init, jnp.float32)
+                self.common_decay_times = self.param(
+                    "common_decay_times", lambda key: init_t.reshape(g)
+                )
+            else:
+                self.common_decay_times = self.param(
+                    "common_decay_times",
+                    lambda key: 0.1 + 1.9 * jax.random.uniform(key, (g,)),
+                )
+
+    # ------------------------------ absorption ------------------------------
+
+    @property
+    def use_absorption_filters(self) -> bool:
+        return self.sos_coeffs is not None or self.iir_coeffs is not None
+
+    def gamma_scalar(self) -> jnp.ndarray:
+        """Per-line scalar absorption gains, shape (N,)."""
+        if self.learn_common_decay_times:
+            delays = jnp.asarray(self.delays, jnp.float32).reshape(
+                self.num_groups, self.num_delay_lines_per_group
+            )
+            gains = decay_times_to_gain_per_sample(
+                self.common_decay_times[:, None], delays, self.sample_rate
+            )
+            return gains.reshape(-1)
+        assert self.gains is not None, "no scalar gains configured"
+        return jnp.asarray(self.gains, jnp.float32)
+
+    def gamma_response(self, z: jnp.ndarray) -> jnp.ndarray:
+        """Per-line absorption filter responses, shape (N, F)."""
+        if self.sos_coeffs is not None:
+            coeffs = jnp.asarray(self.sos_coeffs, jnp.float32)
+            return sos_frequency_response(coeffs[..., 0], coeffs[..., 1], z)
+        coeffs = jnp.asarray(self.iir_coeffs, jnp.float32)
+        return iir_frequency_response(coeffs[..., 0], coeffs[..., 1], z)
+
+    # ---------------------------- feedback matrix ---------------------------
+
+    def block_mixing_matrix(self) -> jnp.ndarray:
+        """Block matrix with blocks ortho(M_i) @ ortho(M_j), shape (N, N)."""
+        o = orthogonal_from_skew(self.M)  # (G, Nper, Nper)
+        nper = self.num_delay_lines_per_group
+        block = jnp.einsum("gab,hbc->gahc", o, o)
+        return block.reshape(self.num_delays, self.num_delays)
+
+    def coupling_matrix(self) -> jnp.ndarray:
+        """Room-level coupling: (G, G) unitary or (order, G, G) paraunitary."""
+        if self.coupling_matrix_type == CouplingMatrixType.SCALAR:
+            alpha = jnp.clip(self.alpha, -np.pi, np.pi)
+            return nd_unitary(alpha, self.num_groups)
+        # FILTER
+        v = self.unit_vectors
+        v = v / (jnp.linalg.norm(v, axis=0, keepdims=True) + 1e-9)
+        u0 = orthogonal_from_skew(self.unitary_matrix)
+        return fir_paraunitary(u0, v)
+
+    def coupled_feedback_matrix(self) -> jnp.ndarray:
+        """A = block_M ∘ (Phi ⊗ 1): (N, N) or (order, N, N) for FILTER mode."""
+        if self.coupling_matrix_type == CouplingMatrixType.RANDOM:
+            return orthogonal_from_skew(self.random_feedback_matrix)
+        block = self.block_mixing_matrix()
+        phi = self.coupling_matrix()
+        nper = self.num_delay_lines_per_group
+        if self.coupling_matrix_type == CouplingMatrixType.SCALAR:
+            expand = jnp.repeat(jnp.repeat(phi, nper, axis=0), nper, axis=1)
+            return block * expand
+        expand = jnp.repeat(jnp.repeat(phi, nper, axis=1), nper, axis=2)
+        return block[None, :, :] * expand
+
+    # -------------------------------- forward -------------------------------
+
+    def loop_matrix(self, z: jnp.ndarray) -> jnp.ndarray:
+        """M(z) = D(z) Gamma(z)^-1 - A(z), shape (F, N, N) complex64."""
+        delays = jnp.asarray(self.delays, jnp.float32)
+        # z^m per bin per line: (F, N)
+        d_diag = z[:, None] ** delays[None, :]
+
+        if self.use_absorption_filters:
+            gamma_inv = 1.0 / self.gamma_response(z).T  # (F, N)
+        else:
+            gamma_inv = (1.0 / self.gamma_scalar())[None, :]  # (1, N)
+        ddecay = d_diag * gamma_inv  # (F, N)
+
+        a = self.coupled_feedback_matrix()
+        if self.coupling_matrix_type == CouplingMatrixType.FILTER:
+            order = a.shape[0]
+            zinv_pow = (1.0 / z[:, None]) ** jnp.arange(order)[None, :]
+            a_z = jnp.einsum(
+                "fo,onm->fnm", zinv_pow.astype(jnp.complex64), a.astype(jnp.complex64)
+            )
+        else:
+            a_z = a.astype(jnp.complex64)[None, :, :]
+
+        eye = jnp.eye(self.num_delays, dtype=jnp.complex64)
+        return ddecay[:, :, None].astype(jnp.complex64) * eye[None, :, :] - a_z
+
+    def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+        """P(z) = loop_matrix(z)^-1, shape (F, N, N) complex64."""
+        return cinv(self.loop_matrix(z))

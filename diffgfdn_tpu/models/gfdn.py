@@ -1,0 +1,479 @@
+"""Differentiable GFDN model family (flax.linen).
+
+H(z) = c(z)^T (D(z) Gamma(z)^-1 - A(z))^-1 b(z) + d(z), evaluated at all
+rFFT bins at once. Variants mirror the reference model family
+(model.py:24-1126):
+
+* :class:`DiffGFDNVarReceiverPos` — output gains/filters conditioned on the
+  listener position via an MLP;
+* :class:`DiffGFDNVarSourceReceiverPos` — additionally input gains/filters
+  conditioned on the source position;
+* :class:`DiffGFDNSinglePos` — direct per-group scalar/SVF parameters for a
+  single RIR fit;
+* :class:`DiffDirectionalFDNVarReceiverPos` — SH-domain output gains for
+  directional (ambisonic) FDNs.
+
+TPU-first deltas from the reference:
+* one fused einsum chain per forward — no per-batch/group python loops;
+* the per-bin inverse is the real-block batched inverse (kernels/linalg);
+* ``sub_fdn_output`` (colorless loss) vmaps the per-group solve, and uses
+  the *orthogonalised* per-group mixing matrix ortho(M_g) as each sub-FDN's
+  feedback matrix (the reference feeds the raw unconstrained M_g at
+  model.py:237 — we keep every sub-FDN lossless-by-construction instead).
+"""
+
+from typing import Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.schema import CouplingMatrixType, FeatureEncodingType
+from ..kernels.linalg import cinv
+from ..ops.unitary import orthogonal_from_skew
+from .dnn import scaled_sigmoid
+from .feedback_loop import FeedbackLoop
+from .gain_heads import (
+    expand_groups_to_delay_lines,
+    GainsFromMLP,
+    svf_cutoff_frequencies,
+    svf_params_to_response,
+    SVFFromMLP,
+)
+from .spatial import directional_amplitudes, DirectionalBeamformerWeightsMLP
+
+
+def _io_gain_init(num_delay_lines: int):
+    """(2*randn - 1)/N initializer used for b and c (reference model.py:100)."""
+
+    def init(key):
+        return (
+            2.0 * jax.random.normal(key, (num_delay_lines, 1)) - 1.0
+        ) / num_delay_lines
+
+    return init
+
+
+class DiffGFDN(nn.Module):
+    """Base GFDN: io gains + feedback loop + per-group (colorless) outputs.
+
+    ``feedback_loop_kwargs`` carries the static absorption / coupling
+    configuration through to :class:`FeedbackLoop`; io gains are learnable
+    unless fixed values from a colorless prototype are provided.
+    """
+
+    sample_rate: float
+    num_groups: int
+    delays: Tuple[int, ...]
+    coupling_matrix_type: CouplingMatrixType = CouplingMatrixType.SCALAR
+    use_zero_coupling: bool = True
+    coupling_matrix_order: Optional[int] = None
+    learn_common_decay_times: bool = False
+    gains: Optional[np.ndarray] = None
+    sos_coeffs: Optional[np.ndarray] = None
+    iir_coeffs: Optional[np.ndarray] = None
+    common_decay_times_init: Optional[Tuple[float, ...]] = None
+    colorless_feedback_matrix_skew: Optional[np.ndarray] = None
+    fixed_input_gains: Optional[np.ndarray] = None
+    fixed_output_gains: Optional[np.ndarray] = None
+    use_colorless_loss: bool = False
+
+    @property
+    def num_delay_lines(self) -> int:
+        return len(self.delays)
+
+    @property
+    def num_delay_lines_per_group(self) -> int:
+        return self.num_delay_lines // self.num_groups
+
+    def setup(self):
+        n = self.num_delay_lines
+        if self.fixed_input_gains is not None:
+            self.input_gains = jnp.asarray(
+                self.fixed_input_gains, jnp.float32
+            ).reshape(n, 1)
+        else:
+            self.input_gains = self.param("input_gains", _io_gain_init(n))
+        if self.fixed_output_gains is not None:
+            self.output_gains = jnp.asarray(
+                self.fixed_output_gains, jnp.float32
+            ).reshape(n, 1)
+        else:
+            self.output_gains = self.param("output_gains", _io_gain_init(n))
+
+        self.feedback_loop = FeedbackLoop(
+            sample_rate=self.sample_rate,
+            num_groups=self.num_groups,
+            num_delay_lines_per_group=self.num_delay_lines_per_group,
+            delays=self.delays,
+            coupling_matrix_type=self.coupling_matrix_type,
+            use_zero_coupling=self.use_zero_coupling,
+            coupling_matrix_order=self.coupling_matrix_order,
+            learn_common_decay_times=self.learn_common_decay_times,
+            gains=self.gains,
+            sos_coeffs=self.sos_coeffs,
+            iir_coeffs=self.iir_coeffs,
+            common_decay_times_init=self.common_decay_times_init,
+            colorless_feedback_matrix_skew=self.colorless_feedback_matrix_skew,
+        )
+        self._setup_heads()
+
+    def _setup_heads(self):
+        """Subclass hook for position-conditioned heads."""
+
+    # --------------------------- colorless sub-FDNs --------------------------
+
+    def sub_fdn_output(self, z: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Lossless response of each sub-FDN (no absorption).
+
+        Returns (Hout (F, G), Hout_per_del (G, Nper, F)) — the per-group FDN
+        output and the per-delay-line contributions weighted by c
+        (reference: model.py:209-252).
+        """
+        g = self.num_groups
+        nper = self.num_delay_lines_per_group
+        delays = jnp.asarray(self.delays, jnp.float32).reshape(g, nper)
+        o = orthogonal_from_skew(self.feedback_loop.M)  # (G, Nper, Nper)
+
+        # (G, F, Nper, Nper): diag(z^m) - A_g
+        d = z[None, :, None] ** delays[:, None, :]
+        eye = jnp.eye(nper, dtype=jnp.complex64)
+        m = d[..., None] * eye[None, None] - o.astype(jnp.complex64)[:, None]
+        p = cinv(m)
+
+        c = self.output_gains.reshape(g, nper).astype(jnp.complex64)
+        b = self.input_gains.reshape(g, nper).astype(jnp.complex64)
+        # per-line: c_n * (P b)_n ... transposed contraction as in reference:
+        # H_tmp[n, f] = c_n * sum_m P[f, n, m] b_m
+        pb = jnp.einsum("gfnm,gm->gnf", p, b)
+        h_per_del = c[:, :, None] * pb  # (G, Nper, F)
+        hout = jnp.sum(h_per_del, axis=1).T  # (F, G)
+        return hout, h_per_del
+
+    # ------------------------------ core forward -----------------------------
+
+    def transfer_function(
+        self,
+        z: jnp.ndarray,
+        c: jnp.ndarray,
+        b: jnp.ndarray,
+        direct: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """H[b, f] = sum_{n,m} C[b,n,f] P[f,n,m] B[b,m,f] (+ direct).
+
+        ``c``/``b``: (batch, N, F) complex; returns (batch, F) complex.
+        """
+        p = self.feedback_loop(z)  # (F, N, N)
+        t = jnp.einsum("bnf,fnm->bmf", c, p)
+        h = jnp.einsum("bmf,bmf->bf", t, b)
+        if direct is not None:
+            h = h + direct
+        return h
+
+
+class DiffGFDNVarReceiverPos(DiffGFDN):
+    """Output gains/filters conditioned on listener position.
+
+    Reference: model.py:502-661.
+    """
+
+    use_svf_in_output: bool = True
+    num_fourier_features: int = 10
+    num_hidden_layers: int = 3
+    num_neurons: int = 128
+    encoding_type: FeatureEncodingType = FeatureEncodingType.SINE
+    compress_pole_factor: float = 1.0
+
+    def _setup_heads(self):
+        if self.use_svf_in_output:
+            self.output_filters = SVFFromMLP(
+                sample_rate=self.sample_rate,
+                num_groups=self.num_groups,
+                num_fourier_features=self.num_fourier_features,
+                num_hidden_layers=self.num_hidden_layers,
+                num_neurons=self.num_neurons,
+                encoding_type=self.encoding_type,
+                compress_pole_factor=self.compress_pole_factor,
+            )
+        else:
+            self.output_scalars = GainsFromMLP(
+                num_groups=self.num_groups,
+                num_fourier_features=self.num_fourier_features,
+                num_hidden_layers=self.num_hidden_layers,
+                num_neurons=self.num_neurons,
+                encoding_type=self.encoding_type,
+            )
+
+    def __call__(
+        self, x: Dict, output_scalars: Optional[jnp.ndarray] = None
+    ):
+        z = x["z_values"]
+        batch = x["listener_position"].shape[0]
+        nper = self.num_delay_lines_per_group
+        f = z.shape[0]
+
+        c_init = self.output_gains.astype(jnp.complex64)  # (N, 1)
+        b_init = self.input_gains.astype(jnp.complex64)
+
+        if self.use_svf_in_output:
+            group_resp = self.output_filters(x)  # (B, G, F) complex
+            c_mod = expand_groups_to_delay_lines(group_resp, nper)  # (B, N, F)
+        else:
+            if output_scalars is None:
+                g = self.output_scalars(x)  # (B, G)
+            else:
+                g = output_scalars  # externally provided CS amplitudes
+            c_mod = expand_groups_to_delay_lines(g, nper).astype(jnp.complex64)[
+                ..., None
+            ]  # (B, N, 1)
+        c = c_mod * c_init[None, :, :]
+        if c.shape[-1] == 1:
+            c = jnp.broadcast_to(c, (batch, self.num_delay_lines, f))
+        b = jnp.broadcast_to(
+            b_init[None, :, :], (batch, self.num_delay_lines, f)
+        )
+
+        h = self.transfer_function(z, c, b, x.get("target_early_response"))
+        if self.use_colorless_loss:
+            return h, self.sub_fdn_output(z)
+        return h
+
+    def head_outputs(self, x: Dict) -> Dict:
+        """Inference-time head outputs (gains or SVF params) per position."""
+        if self.use_svf_in_output:
+            _, params = self.output_filters(x, return_params=True)
+            return params
+        return {"gains": self.output_scalars(x)}
+
+
+class DiffGFDNVarSourceReceiverPos(DiffGFDN):
+    """Output AND input heads conditioned on listener / source position.
+
+    Reference: model.py:305-496.
+    """
+
+    use_svf_in_output: bool = True
+    use_svf_in_input: bool = True
+    num_fourier_features: int = 10
+    num_hidden_layers: int = 3
+    num_neurons: int = 128
+    encoding_type: FeatureEncodingType = FeatureEncodingType.SINE
+    compress_pole_factor: float = 1.0
+    input_num_fourier_features: int = 10
+    input_num_hidden_layers: int = 3
+    input_num_neurons: int = 128
+
+    def _setup_heads(self):
+        if self.use_svf_in_output:
+            self.output_filters = SVFFromMLP(
+                sample_rate=self.sample_rate,
+                num_groups=self.num_groups,
+                num_fourier_features=self.num_fourier_features,
+                num_hidden_layers=self.num_hidden_layers,
+                num_neurons=self.num_neurons,
+                encoding_type=self.encoding_type,
+                compress_pole_factor=self.compress_pole_factor,
+                position_key="listener_position",
+            )
+        else:
+            self.output_scalars = GainsFromMLP(
+                num_groups=self.num_groups,
+                num_fourier_features=self.num_fourier_features,
+                num_hidden_layers=self.num_hidden_layers,
+                num_neurons=self.num_neurons,
+                encoding_type=self.encoding_type,
+                position_key="norm_listener_position",
+            )
+        if self.use_svf_in_input:
+            self.input_filters = SVFFromMLP(
+                sample_rate=self.sample_rate,
+                num_groups=self.num_groups,
+                num_fourier_features=self.input_num_fourier_features,
+                num_hidden_layers=self.input_num_hidden_layers,
+                num_neurons=self.input_num_neurons,
+                encoding_type=self.encoding_type,
+                compress_pole_factor=self.compress_pole_factor,
+                position_key="source_position",
+            )
+        else:
+            self.input_scalars = GainsFromMLP(
+                num_groups=self.num_groups,
+                num_fourier_features=self.input_num_fourier_features,
+                num_hidden_layers=self.input_num_hidden_layers,
+                num_neurons=self.input_num_neurons,
+                encoding_type=self.encoding_type,
+                position_key="source_position",
+            )
+
+    def __call__(self, x: Dict):
+        z = x["z_values"]
+        batch = x["listener_position"].shape[0]
+        nper = self.num_delay_lines_per_group
+        f = z.shape[0]
+        n = self.num_delay_lines
+
+        c_init = self.output_gains.astype(jnp.complex64)
+        b_init = self.input_gains.astype(jnp.complex64)
+
+        if self.use_svf_in_output:
+            c_mod = expand_groups_to_delay_lines(self.output_filters(x), nper)
+        else:
+            c_mod = expand_groups_to_delay_lines(
+                self.output_scalars(x), nper
+            ).astype(jnp.complex64)[..., None]
+        if self.use_svf_in_input:
+            b_mod = expand_groups_to_delay_lines(self.input_filters(x), nper)
+        else:
+            b_mod = expand_groups_to_delay_lines(
+                self.input_scalars(x), nper
+            ).astype(jnp.complex64)[..., None]
+
+        c = jnp.broadcast_to(c_mod * c_init[None], (batch, n, f))
+        b = jnp.broadcast_to(b_mod * b_init[None], (batch, n, f))
+
+        h = self.transfer_function(z, c, b, x.get("target_early_response"))
+        if self.use_colorless_loss:
+            return h, self.sub_fdn_output(z)
+        return h
+
+
+class DiffGFDNSinglePos(DiffGFDN):
+    """Single source/receiver fit with direct per-group parameters.
+
+    Scalars or SVF cascades are plain parameters (no MLP); reference:
+    model.py:667-969. Forward returns H of shape (F,).
+    """
+
+    use_svf_in_output: bool = False
+    use_svf_in_input: bool = False
+    compress_pole_factor: float = 1.0
+
+    def _setup_heads(self):
+        g = self.num_groups
+        cutoffs = svf_cutoff_frequencies(self.sample_rate)
+        self._svf_cutoffs = cutoffs
+        k = len(cutoffs)
+        if self.use_svf_in_output:
+            self.output_svf_params = self.param(
+                "output_svf_params", _svf_param_init, (g, k, 2)
+            )
+        else:
+            self.output_scalars = self.param(
+                "output_scalars", lambda key: jnp.ones((g, 1)) / np.sqrt(g)
+            )
+        if self.use_svf_in_input:
+            self.input_svf_params = self.param(
+                "input_svf_params", _svf_param_init, (g, k, 2)
+            )
+        else:
+            self.input_scalars = self.param(
+                "input_scalars", lambda key: jnp.ones((g, 1)) / np.sqrt(g)
+            )
+
+    def _head_response(self, z: jnp.ndarray, which: str) -> jnp.ndarray:
+        """(N, F) complex gain/filter response for input or output head."""
+        nper = self.num_delay_lines_per_group
+        if which == "output" and self.use_svf_in_output:
+            resp, _, _ = svf_params_to_response(
+                self.output_svf_params, self._svf_cutoffs, z,
+                self.compress_pole_factor,
+            )  # (G, F)
+            return expand_groups_to_delay_lines(resp, nper, axis=0)
+        if which == "input" and self.use_svf_in_input:
+            resp, _, _ = svf_params_to_response(
+                self.input_svf_params, self._svf_cutoffs, z,
+                self.compress_pole_factor,
+            )
+            return expand_groups_to_delay_lines(resp, nper, axis=0)
+        scalars = self.output_scalars if which == "output" else self.input_scalars
+        per_line = expand_groups_to_delay_lines(scalars[:, 0], nper, axis=0)
+        return jnp.broadcast_to(
+            per_line.astype(jnp.complex64)[:, None],
+            (self.num_delay_lines, z.shape[0]),
+        )
+
+    def __call__(self, x: Dict):
+        z = x["z_values"]
+        f = z.shape[0]
+        n = self.num_delay_lines
+        c = self._head_response(z, "output") * self.output_gains.astype(
+            jnp.complex64
+        )
+        b = self._head_response(z, "input") * self.input_gains.astype(
+            jnp.complex64
+        )
+        direct = x.get("target_early_response")
+        h = self.transfer_function(
+            z, c[None], b[None], None if direct is None else direct[None]
+        )[0]
+        if self.use_colorless_loss:
+            return h, self.sub_fdn_output(z)
+        return h
+
+
+def _svf_param_init(key, shape):
+    """Random resonance channel, 0 dB gain channel (reference model.py:730-737)."""
+    init = jax.random.normal(key, shape)
+    return init.at[..., 1].set(0.0)
+
+
+class DiffDirectionalFDNVarReceiverPos(DiffGFDN):
+    """Directional (ambisonic) FDN with SH-domain output gains from an MLP.
+
+    num_delay_lines_per_group == (ambi_order+1)^2; forward returns
+    (B, num_ambi_channels, F). Reference: model.py:975-1126.
+    """
+
+    ambi_order: int = 2
+    num_fourier_features: int = 10
+    num_hidden_layers: int = 3
+    num_neurons: int = 128
+    use_skip_connections: bool = False
+    analysis_matrix: Optional[np.ndarray] = None  # (num_dirs, (N+1)^2)
+
+    def _setup_heads(self):
+        assert self.num_delay_lines_per_group == (self.ambi_order + 1) ** 2, (
+            "delay lines per group must equal the number of ambisonic channels"
+        )
+        self.sh_output_scalars = DirectionalBeamformerWeightsMLP(
+            num_groups=self.num_groups,
+            ambi_order=self.ambi_order,
+            num_fourier_features=self.num_fourier_features,
+            num_hidden_layers=self.num_hidden_layers,
+            num_neurons=self.num_neurons,
+            use_skip_connections=self.use_skip_connections,
+        )
+
+    def __call__(self, x: Dict):
+        z = x["z_values"]
+        batch = x["listener_position"].shape[0]
+        g = self.num_groups
+        nper = self.num_delay_lines_per_group
+        f = z.shape[0]
+        n = self.num_delay_lines
+
+        # (B, G, n_ambi) normalized SH gains
+        sh_gains = self.sh_output_scalars(x, normalise=True)
+        c_init = self.output_gains.reshape(g, nper).astype(jnp.complex64)
+        c = sh_gains.astype(jnp.complex64)[..., None] * c_init[None, :, :, None]
+
+        b = jnp.broadcast_to(
+            self.input_gains.astype(jnp.complex64)[None], (batch, n, f)
+        )
+
+        p = self.feedback_loop(z)  # (F, N, N)
+        # P @ B -> (B, N, F), grouped into (B, G, Nper, F)
+        pb = jnp.einsum("fnm,bnf->bmf", p, b).reshape(batch, g, nper, f)
+        h = jnp.sum(c * pb, axis=1)  # (B, n_ambi, F)
+        if self.use_colorless_loss:
+            return h, self.sub_fdn_output(z)
+        return h
+
+    def directional_response(self, h_sh: jnp.ndarray) -> jnp.ndarray:
+        """SH-domain response -> directional response via the analysis matrix.
+
+        Reference: trainer.py:853-865.
+        """
+        a = jnp.asarray(self.analysis_matrix, jnp.complex64)
+        return jnp.einsum("jl,blk->bjk", a, h_sh)

@@ -94,6 +94,9 @@ def svf_to_biquad(
     model.py:716-719). ``compress_pole_factor`` < 1 shrinks pole/zero radii to
     reduce time-aliasing (reference: gain_filters.py:117-151).
     """
+    cutoff, resonance, filter_type, g_db = jnp.broadcast_arrays(
+        cutoff, resonance, filter_type, g_db
+    )
     g_lin = jnp.power(10.0, g_db * 0.05)
     m_lp, m_bp, m_hp = svf_mixing_coeffs(filter_type, resonance, g_lin)
     f = cutoff
