@@ -1,0 +1,137 @@
+"""Static-shape batching for jit-compiled training.
+
+Replaces the reference's torch DataLoader stack (dataloader.py:512-868) with
+a numpy-side iterator producing dicts of equal-shape arrays:
+* each batch carries all frequency bins but a fixed-size subset of receiver
+  positions (static shapes => one XLA compile);
+* splits: fixed seeded test split + random train/valid split
+  (dataloader.py:707-745);
+* z points live on (or slightly outside) the unit circle.
+"""
+
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from .room_dataset import RoomDataset
+
+
+@dataclass
+class BatchArrays:
+    """Full-dataset feature arrays from which batches are gathered."""
+
+    z_values: np.ndarray                  # (F,) complex64
+    source_position: np.ndarray           # (R, 3) or (1, 3)
+    listener_position: np.ndarray         # (R, 3)
+    norm_listener_position: np.ndarray    # (R, 3)
+    target_early_response: np.ndarray     # (R, F) complex64
+    target_late_response: np.ndarray      # (R, F) complex64
+    target_rir_response: np.ndarray       # (R, F) complex64
+    target_common_slope_amps: Optional[np.ndarray] = None  # (R, ..., slopes)
+    mesh_2d: Optional[np.ndarray] = None  # (L, 2)
+
+    @property
+    def num_items(self) -> int:
+        return self.listener_position.shape[0]
+
+
+def arrays_from_room_dataset(
+    room_data: RoomDataset, new_sampling_radius: Optional[float] = None
+) -> BatchArrays:
+    """Flatten a RoomDataset into contiguous batch arrays."""
+    radius = 1.0 if new_sampling_radius in (None, 1.0) else new_sampling_radius
+    assert radius >= 1.0
+    z = (radius * np.exp(1j * room_data.freq_bins_rad)).astype(np.complex64)
+    src = room_data.source_position.astype(np.float32)
+    if src.shape[0] == 1:
+        src = np.broadcast_to(src, (room_data.num_rec, 3)).copy()
+    amps = room_data.amplitudes
+    return BatchArrays(
+        z_values=z,
+        source_position=src,
+        listener_position=room_data.receiver_position.astype(np.float32),
+        norm_listener_position=room_data.norm_receiver_position.astype(np.float32),
+        target_early_response=room_data.early_rir_mag_response.astype(np.complex64),
+        target_late_response=room_data.late_rir_mag_response.astype(np.complex64),
+        target_rir_response=room_data.rir_mag_response.astype(np.complex64),
+        target_common_slope_amps=(
+            None if amps is None else np.asarray(amps, np.float32)
+        ),
+        mesh_2d=room_data.mesh_2d.points.astype(np.float32),
+    )
+
+
+def fixed_test_split(
+    num_items: int, test_ratio: float = 0.1, seed: int = 42
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(test_indices, remaining_indices) — seeded, stable across runs."""
+    rng = np.random.RandomState(seed)
+    idx = rng.permutation(num_items)
+    test_size = int(num_items * test_ratio)
+    return idx[:test_size], idx[test_size:]
+
+
+def train_valid_split(
+    indices: np.ndarray, split: float, seed: Optional[int] = None
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Random split of the given indices into train/valid subsets."""
+    rng = np.random.RandomState(seed)
+    perm = rng.permutation(len(indices))
+    n_train = int(len(indices) * split)
+    return indices[perm[:n_train]], indices[perm[n_train:]]
+
+
+def gather_batch(arrays: BatchArrays, idx: np.ndarray) -> Dict[str, np.ndarray]:
+    """Materialize one batch dict (z values and mesh are shared constants)."""
+    batch = {
+        "z_values": arrays.z_values,
+        "source_position": arrays.source_position[idx],
+        "listener_position": arrays.listener_position[idx],
+        "norm_listener_position": arrays.norm_listener_position[idx],
+        "target_early_response": arrays.target_early_response[idx],
+        "target_late_response": arrays.target_late_response[idx],
+        "target_rir_response": arrays.target_rir_response[idx],
+    }
+    if arrays.target_common_slope_amps is not None:
+        batch["target_common_slope_amps"] = arrays.target_common_slope_amps[idx]
+    if arrays.mesh_2d is not None:
+        batch["mesh_2d"] = arrays.mesh_2d
+    return batch
+
+
+def iterate_batches(
+    arrays: BatchArrays,
+    indices: np.ndarray,
+    batch_size: int,
+    shuffle: bool = True,
+    drop_last: bool = True,
+    seed: Optional[int] = None,
+    pad_to_batch: bool = False,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Yield static-shape batches over the index set.
+
+    ``drop_last=True`` keeps every batch the same shape (single compile).
+    ``pad_to_batch`` instead repeats indices to fill the final batch.
+    """
+    idx = np.array(indices)
+    if shuffle:
+        rng = np.random.RandomState(seed)
+        idx = idx[rng.permutation(len(idx))]
+    n = len(idx)
+    num_full = n // batch_size
+    for k in range(num_full):
+        yield gather_batch(arrays, idx[k * batch_size : (k + 1) * batch_size])
+    rem = n - num_full * batch_size
+    if rem and not drop_last:
+        tail = idx[num_full * batch_size :]
+        if pad_to_batch:
+            tail = np.concatenate([tail, idx[: batch_size - rem]])
+        yield gather_batch(arrays, tail)
+
+
+def num_batches(num_items: int, batch_size: int, drop_last: bool = True) -> int:
+    """Batch count matching :func:`iterate_batches`."""
+    if drop_last:
+        return num_items // batch_size
+    return int(np.ceil(num_items / batch_size))

@@ -246,6 +246,11 @@ class DiffGFDNVarReceiverPos(DiffGFDN):
             return params
         return {"gains": self.output_scalars(x)}
 
+    def output_filter_params(self, x: Dict) -> Dict:
+        """SVF/biquad parameters of the output head (for the reg loss)."""
+        _, params = self.output_filters(x, return_params=True)
+        return params
+
 
 class DiffGFDNVarSourceReceiverPos(DiffGFDN):
     """Output AND input heads conditioned on listener / source position.

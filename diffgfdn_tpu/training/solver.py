@@ -1,0 +1,294 @@
+"""Training entry points ("solvers") for each model flavour.
+
+Reference behaviour: solver.py:205-657 — dataset parsing, optional
+colorless pre-training per group, model build, trainer run, result export.
+"""
+
+import logging
+import pickle
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..config.schema import DiffGFDNConfig
+from ..data.batching import (
+    arrays_from_room_dataset,
+    fixed_test_split,
+    iterate_batches,
+    train_valid_split,
+)
+from ..data.room_dataset import RIRData, RoomDataset, ThreeRoomDataset
+from ..losses.spatial import make_decay_envelopes
+from ..ops.filterbanks import subband_filter_response
+from .build import (
+    build_colorless_fdn,
+    build_gfdn_model,
+    ColorlessFDNResults,
+    load_colorless_fdn_params,
+)
+from .colorless_trainer import ColorlessFDNTrainer
+from .save_results import (
+    save_colorless_fdn_parameters,
+    save_diff_gfdn_parameters,
+    save_loss,
+)
+from .trainer import DirectionalGFDNTrainer, GFDNTrainer, SinglePosGFDNTrainer
+
+logger = logging.getLogger("diffgfdn_tpu")
+
+
+def _subband_resp(config: DiffGFDNConfig) -> Optional[np.ndarray]:
+    sb = config.trainer_config.subband_process_config
+    if sb is None:
+        return None
+    return subband_filter_response(
+        sb.centre_frequency,
+        sb.frequency_range,
+        sb.num_fraction_octaves,
+        config.sample_rate,
+        config.trainer_config.num_freq_bins,
+        use_amp_preserving=sb.use_amp_preserving_filterbank,
+    )
+
+
+def run_training_colorless_fdn(
+    config: DiffGFDNConfig, num_freq_samples: int
+) -> List[ColorlessFDNResults]:
+    """Train (or load cached) colorless prototypes, one per group.
+
+    Reference: solver.py:205-288 — skips groups whose optimised pickle
+    already exists in {train_dir}/colorless-fdn/.
+    """
+    colorless_dir = Path(config.trainer_config.train_dir) / "colorless-fdn"
+    results: List[ColorlessFDNResults] = []
+    for g in range(config.num_groups):
+        cached = colorless_dir / f"parameters_opt_group={g + 1}.pkl"
+        if cached.exists():
+            with open(cached, "rb") as f:
+                results.append(pickle.load(f))
+            continue
+        model = build_colorless_fdn(config, g)
+        trainer = ColorlessFDNTrainer(
+            model,
+            config.colorless_fdn_config,
+            str(colorless_dir / f"group{g}"),
+            use_asym_loss=config.trainer_config.use_asym_spectral_loss,
+        )
+        z0 = np.exp(1j * np.linspace(0, np.pi, 16)).astype(np.complex64)
+        params = model.init(jax.random.PRNGKey(config.seed + g), z0)
+        params = trainer.fit(params, num_freq_samples, seed=config.seed + g)
+        results.append(
+            save_colorless_fdn_parameters(model, params, colorless_dir, g)
+        )
+    return results
+
+
+def _make_batch_fns(arrays, train_idx, valid_idx, batch_size, seed):
+    def train_batches(epoch):
+        return iterate_batches(
+            arrays, train_idx, batch_size, shuffle=True, seed=seed + epoch
+        )
+
+    def valid_batches():
+        return iterate_batches(
+            arrays,
+            valid_idx,
+            min(batch_size, max(1, len(valid_idx))),
+            shuffle=False,
+        )
+
+    return train_batches, valid_batches
+
+
+def run_training_var_receiver_pos(
+    config: DiffGFDNConfig, room_data: Optional[RoomDataset] = None
+) -> Tuple[GFDNTrainer, Dict]:
+    """Grid-of-receivers training (the flagship path; solver.py:294-453)."""
+    if room_data is None:
+        room_data = ThreeRoomDataset(
+            config.room_dataset_path, nfft=config.trainer_config.num_freq_bins
+        )
+
+    colorless_params = None
+    if config.colorless_fdn_config.use_colorless_prototype:
+        if config.colorless_fdn_config.load_fixed_parameters:
+            colorless_params = load_colorless_fdn_params(
+                config, config.colorless_fdn_config.saved_param_path
+            )
+        else:
+            colorless_params = run_training_colorless_fdn(
+                config, room_data.num_freq_bins // 16
+            )
+
+    model = build_gfdn_model(
+        config,
+        common_decay_times=room_data.common_decay_times,
+        band_centre_hz=room_data.band_centre_hz,
+        colorless_params=colorless_params,
+        variant="var_receiver",
+    )
+
+    tc = config.trainer_config
+    arrays = arrays_from_room_dataset(
+        room_data,
+        new_sampling_radius=(
+            None if tc.reduced_pole_radius == 1.0 else 1.0 / tc.reduced_pole_radius
+        ),
+    )
+    indices = np.arange(arrays.num_items)
+    if tc.hold_out_test_set is not None:
+        _, indices = fixed_test_split(
+            arrays.num_items,
+            tc.hold_out_test_set.ratio,
+            tc.hold_out_test_set.seed,
+        )
+    train_idx, valid_idx = train_valid_split(
+        indices, tc.train_valid_split, seed=config.seed
+    )
+    train_batches, valid_batches = _make_batch_fns(
+        arrays, train_idx, valid_idx, tc.batch_size, config.seed
+    )
+
+    trainer = GFDNTrainer(
+        model,
+        tc,
+        steps_per_epoch=max(1, len(train_idx) // tc.batch_size),
+        common_decay_times=room_data.common_decay_times,
+        subband_filter_resp=_subband_resp(config),
+        sample_rate=config.sample_rate,
+    )
+    example = next(iter(train_batches(0)))
+    params = model.init(jax.random.PRNGKey(config.seed), example)
+    params = trainer.fit(params, train_batches, valid_batches, seed=config.seed)
+
+    save_diff_gfdn_parameters(model, params, tc.train_dir)
+    save_loss(trainer.train_loss, trainer.valid_loss, tc.train_dir)
+    return trainer, params
+
+
+def run_training_single_pos(
+    config: DiffGFDNConfig, rir_data: Optional[RIRData] = None
+) -> Tuple[SinglePosGFDNTrainer, Dict]:
+    """Single-RIR fit: whole-spectrum batches (solver.py:459-552)."""
+    if rir_data is None:
+        rir_data = RIRData.from_wav(
+            config.ir_path,
+            common_decay_times=np.array([0.5] * config.num_groups),
+            nfft=config.trainer_config.num_freq_bins,
+        )
+
+    colorless_params = None
+    if config.colorless_fdn_config.use_colorless_prototype:
+        colorless_params = run_training_colorless_fdn(
+            config, rir_data.num_freq_bins // 16
+        )
+
+    model = build_gfdn_model(
+        config,
+        common_decay_times=rir_data.common_decay_times,
+        band_centre_hz=rir_data.band_centre_hz,
+        colorless_params=colorless_params,
+        variant="single_pos",
+    )
+    tc = config.trainer_config
+    radius = 1.0 if tc.reduced_pole_radius == 1.0 else 1.0 / tc.reduced_pole_radius
+    z = (radius * np.exp(1j * rir_data.freq_bins_rad)).astype(np.complex64)
+    early, late = rir_data.split_responses()
+    batch = {
+        "z_values": z,
+        "listener_position": np.zeros((1, 3), np.float32),
+        "norm_listener_position": np.zeros((1, 3), np.float32),
+        "target_early_response": early.astype(np.complex64),
+        "target_late_response": late.astype(np.complex64),
+        "target_rir_response": rir_data.rir_mag_response.astype(np.complex64),
+    }
+
+    def train_batches(epoch):
+        yield batch
+
+    trainer = SinglePosGFDNTrainer(
+        model,
+        tc,
+        steps_per_epoch=1,
+        common_decay_times=rir_data.common_decay_times,
+        subband_filter_resp=_subband_resp(config),
+        sample_rate=config.sample_rate,
+    )
+    params = model.init(jax.random.PRNGKey(config.seed), batch)
+    params = trainer.fit(params, train_batches, seed=config.seed)
+    save_diff_gfdn_parameters(model, params, tc.train_dir)
+    save_loss(trainer.train_loss, None, tc.train_dir)
+    return trainer, params
+
+
+def run_training_anisotropic_decay_var_receiver_pos(
+    config: DiffGFDNConfig,
+    room_data,  # SpatialRoomDataset
+) -> Tuple[DirectionalGFDNTrainer, Dict]:
+    """Directional FDN over a receiver grid (solver.py:558-657)."""
+    from ..data.spatial_dataset import arrays_from_spatial_dataset
+
+    colorless_params = None
+    if config.colorless_fdn_config.use_colorless_prototype:
+        if config.colorless_fdn_config.load_fixed_parameters:
+            colorless_params = load_colorless_fdn_params(
+                config, config.colorless_fdn_config.saved_param_path
+            )
+        else:
+            colorless_params = run_training_colorless_fdn(
+                config, room_data.num_freq_bins // 16
+            )
+
+    model = build_gfdn_model(
+        config,
+        common_decay_times=room_data.common_decay_times,
+        band_centre_hz=room_data.band_centre_hz,
+        colorless_params=colorless_params,
+        desired_directions=room_data.desired_directions,
+        variant="directional",
+    )
+    tc = config.trainer_config
+    arrays = arrays_from_spatial_dataset(room_data)
+    indices = np.arange(arrays.num_items)
+    if tc.grid_resolution_m is not None:
+        from ..data.spatial_dataset import split_by_grid_resolution
+
+        train_idx, valid_idx = split_by_grid_resolution(
+            room_data, tc.grid_resolution_m
+        )
+    else:
+        train_idx, valid_idx = train_valid_split(
+            indices, tc.train_valid_split, seed=config.seed
+        )
+    train_batches, valid_batches = _make_batch_fns(
+        arrays, train_idx, valid_idx, tc.batch_size, config.seed
+    )
+
+    envelopes = make_decay_envelopes(
+        np.asarray(room_data.common_decay_times).reshape(-1)[: config.num_groups],
+        ms_to_samps_safe(
+            float(np.max(room_data.common_decay_times)) * 1e3, config.sample_rate
+        ),
+        config.sample_rate,
+    )
+    trainer = DirectionalGFDNTrainer(
+        model,
+        tc,
+        steps_per_epoch=max(1, len(train_idx) // tc.batch_size),
+        common_decay_times=room_data.common_decay_times,
+        subband_filter_resp=_subband_resp(config),
+        sample_rate=config.sample_rate,
+        directional_envelopes=np.asarray(envelopes),
+    )
+    example = next(iter(train_batches(0)))
+    params = model.init(jax.random.PRNGKey(config.seed), example)
+    params = trainer.fit(params, train_batches, valid_batches, seed=config.seed)
+    save_diff_gfdn_parameters(model, params, tc.train_dir)
+    save_loss(trainer.train_loss, trainer.valid_loss, tc.train_dir)
+    return trainer, params
+
+
+def ms_to_samps_safe(ms: float, fs: float) -> int:
+    return int(ms * 1e-3 * fs)

@@ -1,0 +1,366 @@
+"""GFDN trainers: jitted train/valid steps, epoch loop, early stopping.
+
+Reference behaviour: trainer.py:26-921 (Trainer / VarReceiverPosTrainer /
+SinglePosTrainer / DirectionalFDNVarReceiverPosTrainer), re-designed around
+pure functions:
+
+* one jitted ``train_step(params, opt_state, batch, key)`` per config —
+  static loss structure, static batch shapes;
+* sub-FDN energy normalization is a jitted ``params -> params`` map
+  (the reference mutates ``.data`` in-place, trainer.py:317-332);
+* per-epoch checkpoints + loss history; early stop on |Δvalid| <= tol for
+  ``patience`` epochs.
+"""
+
+import logging
+import time
+from functools import partial
+from typing import Callable, Dict, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config.schema import TrainerConfig
+from ..losses import (
+    amse_loss,
+    directional_edc_loss,
+    edc_loss,
+    edr_loss,
+    frequency_weighting,
+    mse_loss,
+    reg_loss,
+    sparsity_loss,
+)
+from ..ops.basic import ms_to_samps
+from ..ops.stft import erb_filterbank
+from ..ops.unitary import orthogonal_from_skew
+from ..models.gfdn import DiffGFDN
+from .checkpoints import save_checkpoint
+from .optim import make_optimizer
+
+logger = logging.getLogger("diffgfdn_tpu")
+
+
+class GFDNTrainer:
+    """Trainer for position-conditioned (grid) GFDNs."""
+
+    patience: int = 5
+    early_stop_tol: float = 1e-3
+
+    def __init__(
+        self,
+        model: DiffGFDN,
+        trainer_config: TrainerConfig,
+        steps_per_epoch: int,
+        common_decay_times: Optional[np.ndarray] = None,
+        subband_filter_resp: Optional[np.ndarray] = None,
+        sample_rate: Optional[float] = None,
+        directional_envelopes: Optional[np.ndarray] = None,
+    ):
+        self.model = model
+        self.cfg = trainer_config
+        self.steps_per_epoch = max(1, steps_per_epoch)
+        self.sample_rate = sample_rate or model.sample_rate
+        self.subband_filter_resp = (
+            None
+            if subband_filter_resp is None
+            else jnp.asarray(subband_filter_resp, jnp.complex64)
+        )
+        self.directional_envelopes = (
+            None
+            if directional_envelopes is None
+            else jnp.asarray(directional_envelopes, jnp.float32)
+        )
+        self.use_directional = directional_envelopes is not None
+
+        if common_decay_times is None:
+            self.max_ir_len_ms = 2000.0
+        else:
+            self.max_ir_len_ms = float(np.max(common_decay_times)) * 1e3
+        self.mixing_time_samps = ms_to_samps(20.0, self.sample_rate)
+        self.max_ir_len_samps = ms_to_samps(self.max_ir_len_ms, self.sample_rate)
+
+        self.erb_filters = None
+        if trainer_config.use_erb_edr_loss:
+            fb, _ = erb_filterbank(self.sample_rate, 2 ** 12, 2 ** 6)
+            self.erb_filters = jnp.asarray(fb, jnp.float32)
+        self.freq_weights = None
+        if trainer_config.use_frequency_weighting:
+            freqs = np.fft.rfftfreq(2 ** 12, d=1.0 / self.sample_rate)
+            self.freq_weights = frequency_weighting(freqs)
+
+        self.train_loss: List[float] = []
+        self.valid_loss: List[float] = []
+        self.individual_train_loss: List[Dict[str, float]] = []
+        self.individual_valid_loss: List[Dict[str, float]] = []
+        self._early_stop = 0
+
+        self._train_step = jax.jit(self._make_step(training=True))
+        self._valid_step = jax.jit(self._make_step(training=False))
+        self._normalize = jax.jit(self._normalize_params)
+        self.optimizer: Optional[optax.GradientTransformation] = None
+
+    # ----------------------------- loss assembly -----------------------------
+
+    def _model_outputs(self, params, batch):
+        out = self.model.apply(params, batch)
+        if self.model.use_colorless_loss:
+            h, h_sub = out
+        else:
+            h, h_sub = out, None
+        if self.subband_filter_resp is not None:
+            h = h * self.subband_filter_resp
+        return h, h_sub
+
+    def _losses(self, params, batch, key) -> Dict[str, jnp.ndarray]:
+        h, h_sub = self._model_outputs(params, batch)
+        mask_key = key if self.cfg.use_edc_mask else None
+        all_losses: Dict[str, jnp.ndarray] = {}
+
+        if self.use_directional:
+            h_dir = jnp.einsum(
+                "jl,blk->bjk",
+                jnp.asarray(self.model.analysis_matrix, jnp.complex64),
+                h,
+            )
+            all_losses["edc_loss"] = self.cfg.edc_loss_weight * directional_edc_loss(
+                h_dir,
+                batch["target_common_slope_amps"],
+                self.directional_envelopes,
+                self.mixing_time_samps,
+                self.max_ir_len_samps,
+                mask_key=mask_key,
+            )
+        else:
+            target = batch["target_rir_response"]
+            all_losses["edr_loss"] = self.cfg.edr_loss_weight * edr_loss(
+                target,
+                h,
+                reduced_pole_radius=self.cfg.reduced_pole_radius,
+                erb_filters=self.erb_filters,
+                frequency_weights=self.freq_weights,
+            )
+            all_losses["edc_loss"] = self.cfg.edc_loss_weight * edc_loss(
+                target,
+                h,
+                self.mixing_time_samps,
+                self.max_ir_len_samps,
+                mask_key=mask_key,
+            )
+            if self.cfg.use_reg_loss and getattr(
+                self.model, "use_svf_in_output", False
+            ):
+                head = self.model.apply(
+                    params, batch, method=type(self.model).output_filter_params
+                )
+                all_losses["reg_loss"] = reg_loss(
+                    head["biquad_num"],
+                    head["biquad_den"],
+                    ms_to_samps(self.cfg.output_filt_ir_len_ms, self.sample_rate),
+                )
+
+        if self.model.use_colorless_loss:
+            h_out = h_sub[0]  # (F, G)
+            spectral_fn = (
+                amse_loss if self.cfg.use_asym_spectral_loss else mse_loss
+            )
+            spectral = 0.0
+            for k in range(self.model.num_groups):
+                spectral += self.cfg.spectral_loss_weight * spectral_fn(
+                    h_out[..., k], jnp.ones_like(jnp.abs(h_out[..., k]))
+                )
+            m = params["params"]["feedback_loop"]["M"]
+            ortho = orthogonal_from_skew(m)
+            sparsity = self.cfg.sparsity_loss_weight * sparsity_loss(ortho[-1])
+            all_losses["spectral_loss"] = spectral
+            all_losses["sparsity_loss"] = sparsity
+        return all_losses
+
+    def _make_step(self, training: bool) -> Callable:
+        def loss_fn(params, batch, key):
+            all_losses = self._losses(params, batch, key)
+            return sum(all_losses.values()), all_losses
+
+        if not training:
+            def valid_step(params, batch, key):
+                total, aux = loss_fn(params, batch, key)
+                return total, aux
+
+            return valid_step
+
+        def train_step(params, opt_state, batch, key):
+            (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch, key
+            )
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, total, aux
+
+        return train_step
+
+    # ---------------------------- normalization ------------------------------
+
+    def _normalize_params(self, params, z):
+        """Scale b, c so each sub-FDN has unit average energy.
+
+        Divides the per-group slices of input/output gains by
+        E[|H_sub_g|^2]^(1/4) (reference: trainer.py:317-332). No-op when io
+        gains are fixed (colorless warm start).
+        """
+        p = params["params"]
+        if "input_gains" not in p or "output_gains" not in p:
+            return params
+        h_sub, _ = self.model.apply(params, z, method=DiffGFDN.sub_fdn_output)
+        energy = jnp.mean(jnp.abs(h_sub) ** 2, axis=0)  # (G,)
+        scale = jnp.power(energy, 0.25)
+        nper = self.model.num_delay_lines_per_group
+        per_line = jnp.repeat(scale, nper)[:, None]  # (N, 1)
+        new_p = dict(p)
+        new_p["input_gains"] = p["input_gains"] / per_line
+        new_p["output_gains"] = p["output_gains"] / per_line
+        out = dict(params)
+        out["params"] = new_p
+        return out
+
+    # ------------------------------- training --------------------------------
+
+    def fit(
+        self,
+        params,
+        train_batches: Callable[[int], Iterable[Dict]],
+        valid_batches: Callable[[], Iterable[Dict]],
+        seed: int = 0,
+    ):
+        """Run the epoch loop. ``train_batches(epoch)``/``valid_batches()``
+        return fresh batch iterators. Returns the final params."""
+        self.optimizer = make_optimizer(self.cfg, params, self.steps_per_epoch)
+        opt_state = self.optimizer.init(params)
+        key = jax.random.PRNGKey(seed)
+        save_checkpoint(self.cfg.train_dir, -1, params)
+
+        normalize_per_step = not getattr(self.model, "use_svf_in_output", False)
+        start = time.time()
+        for epoch in range(self.cfg.max_epochs):
+            ep_start = time.time()
+            ep_loss, ep_all = 0.0, {}
+            n_train = 0
+            if not normalize_per_step:
+                first = next(iter(train_batches(epoch)), None)
+                if first is not None:
+                    params = self._normalize(params, jnp.asarray(first["z_values"]))
+            for batch in train_batches(epoch):
+                if normalize_per_step:
+                    params = self._normalize(params, jnp.asarray(batch["z_values"]))
+                key, sub = jax.random.split(key)
+                params, opt_state, total, aux = self._train_step(
+                    params, opt_state, batch, sub
+                )
+                ep_loss += float(total)
+                for k, v in aux.items():
+                    ep_all[k] = ep_all.get(k, 0.0) + float(v)
+                n_train += 1
+
+            ev_loss, ev_all = 0.0, {}
+            n_valid = 0
+            for batch in valid_batches():
+                key, sub = jax.random.split(key)
+                total, aux = self._valid_step(params, batch, sub)
+                ev_loss += float(total)
+                for k, v in aux.items():
+                    ev_all[k] = ev_all.get(k, 0.0) + float(v)
+                n_valid += 1
+
+            self.train_loss.append(ep_loss / max(n_train, 1))
+            self.individual_train_loss.append(
+                {k: v / max(n_train, 1) for k, v in ep_all.items()}
+            )
+            self.valid_loss.append(ev_loss / max(n_valid, 1))
+            self.individual_valid_loss.append(
+                {k: v / max(n_valid, 1) for k, v in ev_all.items()}
+            )
+            save_checkpoint(self.cfg.train_dir, epoch, params)
+            logger.info(
+                "epoch %d train %.4f valid %.4f (%.2fs)",
+                epoch,
+                self.train_loss[-1],
+                self.valid_loss[-1],
+                time.time() - ep_start,
+            )
+
+            if epoch >= 1:
+                if abs(self.valid_loss[-2] - self.valid_loss[-1]) <= self.early_stop_tol:
+                    self._early_stop += 1
+                else:
+                    self._early_stop = 0
+            if self._early_stop == self.patience:
+                logger.info("early stopping at epoch %d", epoch)
+                break
+        logger.info("training time: %.3fs", time.time() - start)
+        return params
+
+
+class SinglePosGFDNTrainer(GFDNTrainer):
+    """Single-RIR fit: one full-spectrum batch, tighter early stopping."""
+
+    early_stop_tol = 1e-4
+
+    def _normalize_params(self, params, batch):
+        """Match the FDN's average energy to the target's.
+
+        Scales the per-group io scalars by (E_H / E_target)^(-1/4)
+        (reference: trainer.py:647-661) after the sub-FDN normalization.
+        """
+        params = super()._normalize_params(params, batch["z_values"])
+        p = params["params"]
+        if "input_scalars" not in p or "output_scalars" not in p:
+            return params
+        h, _ = self._model_outputs(params, batch)
+        energy_h = jnp.mean(jnp.abs(h) ** 2)
+        energy_t = jnp.mean(jnp.abs(batch["target_rir_response"]) ** 2)
+        ratio = jnp.power(energy_h / (energy_t + 1e-12), 0.25)
+        new_p = dict(p)
+        new_p["input_scalars"] = p["input_scalars"] / ratio
+        new_p["output_scalars"] = p["output_scalars"] / ratio
+        out = dict(params)
+        out["params"] = new_p
+        return out
+
+    def fit(self, params, train_batches, valid_batches=None, seed: int = 0):
+        """Single-batch epochs: loss monitored on the train loss itself."""
+        self.optimizer = make_optimizer(self.cfg, params, 1)
+        opt_state = self.optimizer.init(params)
+        key = jax.random.PRNGKey(seed)
+
+        first = next(iter(train_batches(0)))
+        params = self._normalize(params, first)
+        save_checkpoint(self.cfg.train_dir, -1, params)
+
+        for epoch in range(self.cfg.max_epochs):
+            for batch in train_batches(epoch):
+                key, sub = jax.random.split(key)
+                params, opt_state, total, aux = self._train_step(
+                    params, opt_state, batch, sub
+                )
+            self.train_loss.append(float(total))
+            self.individual_train_loss.append(
+                {k: float(v) for k, v in aux.items()}
+            )
+            save_checkpoint(self.cfg.train_dir, epoch, params)
+            if epoch >= 1:
+                if abs(self.train_loss[-2] - self.train_loss[-1]) <= self.early_stop_tol:
+                    self._early_stop += 1
+                else:
+                    self._early_stop = 0
+            if self._early_stop == self.patience:
+                break
+        return params
+
+
+class DirectionalGFDNTrainer(GFDNTrainer):
+    """Directional FDN trainer: SH response -> directional EDC loss.
+
+    Construct with ``directional_envelopes`` (num_slopes, T) from
+    :func:`diffgfdn_tpu.losses.make_decay_envelopes`.
+    """
