@@ -14,7 +14,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config.schema import CouplingMatrixType
-from ..ops.absorption import decay_times_to_gain_per_sample
 from .feedback_loop import FeedbackLoop
 from .gfdn import _io_gain_init
 
@@ -34,10 +33,10 @@ class ColorlessFDN(nn.Module):
         n = self.num_delay_lines
         self.input_gains = self.param("input_gains", _io_gain_init(n))
         self.output_gains = self.param("output_gains", _io_gain_init(n))
-        gains = np.asarray(
-            decay_times_to_gain_per_sample(
-                self.nominal_t60, np.asarray(self.delays), self.sample_rate
-            )
+        # host-side (setup runs under tracing; keep this a static constant)
+        gains = 10.0 ** (
+            -3.0 * np.asarray(self.delays, np.float64)
+            / (self.sample_rate * self.nominal_t60)
         )
         self.feedback_loop = FeedbackLoop(
             sample_rate=self.sample_rate,

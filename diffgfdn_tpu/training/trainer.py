@@ -82,13 +82,23 @@ class GFDNTrainer:
         self.mixing_time_samps = ms_to_samps(20.0, self.sample_rate)
         self.max_ir_len_samps = ms_to_samps(self.max_ir_len_ms, self.sample_rate)
 
+        # EDR STFT window: 4096 like the reference (losses.py:384) unless the
+        # IR is short — then shrink so there are >= 4 frames
+        time_len = (
+            trainer_config.num_freq_bins
+            if trainer_config.num_freq_bins is not None
+            else 2 ** 17
+        )
+        self.edr_win = min(2 ** 12, 2 ** int(np.log2(max(time_len // 4, 8))))
+        self.edr_hop = self.edr_win // 2
+
         self.erb_filters = None
         if trainer_config.use_erb_edr_loss:
-            fb, _ = erb_filterbank(self.sample_rate, 2 ** 12, 2 ** 6)
+            fb, _ = erb_filterbank(self.sample_rate, self.edr_win, 2 ** 6)
             self.erb_filters = jnp.asarray(fb, jnp.float32)
         self.freq_weights = None
         if trainer_config.use_frequency_weighting:
-            freqs = np.fft.rfftfreq(2 ** 12, d=1.0 / self.sample_rate)
+            freqs = np.fft.rfftfreq(self.edr_win, d=1.0 / self.sample_rate)
             self.freq_weights = frequency_weighting(freqs)
 
         self.train_loss: List[float] = []
@@ -138,6 +148,8 @@ class GFDNTrainer:
             all_losses["edr_loss"] = self.cfg.edr_loss_weight * edr_loss(
                 target,
                 h,
+                win_size=self.edr_win,
+                hop_size=self.edr_hop,
                 reduced_pole_radius=self.cfg.reduced_pole_radius,
                 erb_filters=self.erb_filters,
                 frequency_weights=self.freq_weights,

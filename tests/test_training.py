@@ -1,0 +1,145 @@
+"""End-to-end training tests on synthetic data (tiny shapes, CPU)."""
+
+import numpy as np
+import pytest
+
+from diffgfdn_tpu.config.schema import (
+    ColorlessFDNConfig,
+    DiffGFDNConfig,
+    FeedbackLoopConfig,
+    OutputFilterConfig,
+    TrainerConfig,
+)
+from diffgfdn_tpu.data import synthetic_three_room_dataset
+from diffgfdn_tpu.training import (
+    build_colorless_fdn,
+    ColorlessFDNTrainer,
+    label_params,
+    load_checkpoint,
+    run_training_single_pos,
+    run_training_var_receiver_pos,
+    skew_preimage,
+)
+from diffgfdn_tpu.ops.unitary import orthogonal_from_skew
+
+
+def small_config(tmp_path, **trainer_kwargs) -> DiffGFDNConfig:
+    trainer = dict(
+        batch_size=4,
+        num_freq_bins=2048,
+        max_epochs=2,
+        lr=1e-3,
+        io_lr=1e-3,
+        coupling_angle_lr=1e-3,
+        train_dir=str(tmp_path / "train"),
+        ir_dir=str(tmp_path / "audio"),
+    )
+    trainer.update(trainer_kwargs)
+    return DiffGFDNConfig(
+        seed=1234,
+        num_groups=3,
+        sample_rate=8000.0,
+        num_delay_lines=6,
+        delay_range_ms=[20.0, 45.0],
+        trainer_config=TrainerConfig(**trainer),
+        output_filter_config=OutputFilterConfig(
+            use_svfs=False, num_hidden_layers=1, num_neurons_per_layer=16,
+            num_fourier_features=4,
+        ),
+        decay_filter_config={"use_absorption_filters": False,
+                             "learn_common_decay_times": False},
+        colorless_fdn_config=ColorlessFDNConfig(use_colorless_prototype=False),
+    )
+
+
+@pytest.fixture(scope="module")
+def room(tmp_path_factory):
+    return synthetic_three_room_dataset(
+        tmp_path_factory.mktemp("train_data"),
+        nfft=2048,
+        num_rec_per_room=8,
+        rir_len_s=0.25,
+        decay_times=(0.08, 0.12, 0.1),
+    )
+
+
+def test_skew_preimage_roundtrip():
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    q = np.asarray(orthogonal_from_skew(jnp.asarray(rng.randn(4, 4), jnp.float32)))
+    x = skew_preimage(q)
+    q2 = np.asarray(orthogonal_from_skew(jnp.asarray(x)))
+    assert np.allclose(q, q2, atol=1e-4)
+
+
+def test_optimizer_labels():
+    params = {
+        "params": {
+            "feedback_loop": {"alpha": np.zeros(3), "M": np.zeros((3, 2, 2))},
+            "input_gains": np.zeros((6, 1)),
+            "output_scalars": {"MLP_0": {"Dense_0": {"kernel": np.zeros((4, 4))}}},
+        }
+    }
+    labels = label_params(params)
+    assert labels["params"]["feedback_loop"]["alpha"] == "coupling"
+    assert labels["params"]["feedback_loop"]["M"] == "other"
+    assert labels["params"]["input_gains"] == "io"
+    assert labels["params"]["output_scalars"]["MLP_0"]["Dense_0"]["kernel"] == "io"
+
+
+def test_colorless_fdn_training_reduces_loss(tmp_path):
+    cfg = small_config(tmp_path)
+    cfg.colorless_fdn_config.max_epochs = 5
+    cfg.colorless_fdn_config.batch_size = 128
+    cfg.colorless_fdn_config.lr = 0.02
+    model = build_colorless_fdn(cfg, 0)
+    trainer = ColorlessFDNTrainer(
+        model, cfg.colorless_fdn_config, str(tmp_path / "colorless")
+    )
+    import jax
+
+    z0 = np.exp(1j * np.linspace(0, np.pi, 16)).astype(np.complex64)
+    params = model.init(jax.random.PRNGKey(0), z0)
+    trainer.fit(params, num_freq_samples=512, seed=0)
+    assert trainer.train_loss[-1] < trainer.train_loss[0]
+    # |H| should approach 1 (colorless): final loss below initial by a margin
+    assert trainer.train_loss[-1] < 0.75 * trainer.train_loss[0]
+
+
+def test_var_receiver_pos_training_runs_and_improves(tmp_path, room):
+    cfg = small_config(tmp_path, max_epochs=6, lr=5e-3, io_lr=5e-3)
+    trainer, params = run_training_var_receiver_pos(cfg, room_data=room)
+    assert len(trainer.train_loss) <= 6
+    assert np.isfinite(trainer.train_loss).all()
+    assert min(trainer.train_loss) < trainer.train_loss[0]
+    # checkpoints saved for init and all epochs
+    ck = load_checkpoint(cfg.trainer_config.train_dir, len(trainer.train_loss) - 1)
+    assert "params" in ck
+    # results exported
+    assert (tmp_path / "train" / "parameters_opt.mat").exists()
+    assert (tmp_path / "train" / "losses.mat").exists()
+
+
+def test_var_receiver_pos_training_with_colorless_loss(tmp_path, room):
+    cfg = small_config(tmp_path, max_epochs=1, use_colorless_loss=True)
+    trainer, params = run_training_var_receiver_pos(cfg, room_data=room)
+    assert "spectral_loss" in trainer.individual_train_loss[0]
+    assert "sparsity_loss" in trainer.individual_train_loss[0]
+
+
+def test_single_pos_training(tmp_path, room):
+    from diffgfdn_tpu.data.room_dataset import RIRData
+
+    cfg = small_config(tmp_path, max_epochs=2)
+    cfg.ir_path = "unused.wav"
+    rir_data = RIRData(
+        rir=room.rirs[0],
+        sample_rate=room.sample_rate,
+        common_decay_times=room.common_decay_times,
+        band_centre_hz=room.band_centre_hz,
+        nfft=2048,
+    )
+    trainer, params = run_training_single_pos(cfg, rir_data=rir_data)
+    assert len(trainer.train_loss) == 2
+    assert np.isfinite(trainer.train_loss).all()
