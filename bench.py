@@ -1,0 +1,245 @@
+"""Benchmark: full-band DiffGFDN training throughput on TPU vs PyTorch-CPU.
+
+Flagship config (BASELINE.md): 3-room omni DiffGFDNVarReceiverPos, N = 12
+delay lines, nfft = 131072 (65537 rFFT bins), batch = 32 receivers,
+EDC + EDR losses, Adam. The baseline is an algorithmically equivalent
+PyTorch-CPU train step (the reference's eager formulation: complex
+torch.linalg.inv over all bins + einsum + irfft/STFT losses + backward).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": steps/sec on TPU, "unit": "steps/sec",
+   "vs_baseline": TPU-steps-per-sec / torch-CPU-steps-per-sec}
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+NFFT = 131072
+BATCH = 32
+FS = 32000.0
+DELAYS = (1031, 1087, 1153, 1201, 1249, 1301, 1361, 1409, 1459, 1499, 1553, 1601)
+T60S = (0.5, 1.1, 0.8)
+NUM_GROUPS = 3
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def make_batch(f):
+    rng = np.random.RandomState(0)
+    pos = rng.rand(BATCH, 3).astype(np.float32) * 4.0
+    # target spectra: shaped-noise RIR spectra at flagship scale
+    t = np.arange(NFFT) / FS
+    env = np.exp(-t * np.log(1e6) / 0.8)
+    rirs = rng.randn(BATCH, NFFT).astype(np.float32) * np.sqrt(env)[None, :]
+    target = np.fft.rfft(rirs, NFFT, axis=-1).astype(np.complex64)
+    return {
+        "z_values": np.exp(1j * np.linspace(0, np.pi, f)).astype(np.complex64),
+        "source_position": rng.rand(BATCH, 3).astype(np.float32),
+        "listener_position": pos,
+        "norm_listener_position": pos / 4.0,
+        "target_early_response": np.zeros((BATCH, f), np.complex64),
+        "target_rir_response": target,
+    }
+
+
+def bench_tpu(steps: int = 10):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from diffgfdn_tpu.config.schema import TrainerConfig
+    from diffgfdn_tpu.models import DiffGFDNVarReceiverPos
+    from diffgfdn_tpu.ops.absorption import decay_times_to_gain_per_sample
+    from diffgfdn_tpu.training.optim import make_optimizer
+    from diffgfdn_tpu.training.trainer import GFDNTrainer
+
+    log("jax devices:", jax.devices())
+    f = NFFT // 2 + 1
+    gains = []
+    for k in range(NUM_GROUPS):
+        d = np.asarray(DELAYS[4 * k : 4 * k + 4])
+        gains.append(np.asarray(decay_times_to_gain_per_sample(T60S[k], d, FS)))
+    model = DiffGFDNVarReceiverPos(
+        sample_rate=FS,
+        num_groups=NUM_GROUPS,
+        delays=DELAYS,
+        gains=np.concatenate(gains),
+        use_svf_in_output=False,
+        num_hidden_layers=3,
+        num_neurons=128,
+        num_fourier_features=10,
+    )
+    cfg = TrainerConfig(
+        batch_size=BATCH, num_freq_bins=NFFT, max_epochs=1, lr=1e-3
+    )
+    from diffgfdn_tpu.utils.cio import encode_batch, init_with_batch
+
+    trainer = GFDNTrainer(
+        model, cfg, steps_per_epoch=21, common_decay_times=np.asarray(T60S),
+        sample_rate=FS,
+    )
+    batch = encode_batch(make_batch(f))
+    params = init_with_batch(model, jax.random.PRNGKey(0), make_batch(f))
+    trainer.optimizer = make_optimizer(cfg, params, 21)
+    opt_state = trainer.optimizer.init(params)
+    key = jax.random.PRNGKey(1)
+
+    log("compiling tpu train step...")
+    t0 = time.time()
+    params, opt_state, total, _ = trainer._train_step(params, opt_state, batch, key)
+    total.block_until_ready()
+    log(f"compile+first step: {time.time() - t0:.1f}s, loss={float(total):.3f}")
+
+    t0 = time.time()
+    for i in range(steps):
+        params, opt_state, total, _ = trainer._train_step(
+            params, opt_state, batch, key
+        )
+    total.block_until_ready()
+    dt = (time.time() - t0) / steps
+    log(f"tpu step: {dt * 1e3:.1f} ms -> {1.0 / dt:.2f} steps/s")
+    return 1.0 / dt
+
+
+def bench_torch_cpu(steps: int = 2):
+    """Equivalent eager PyTorch-CPU train step (the reference's formulation)."""
+    import torch
+
+    torch.manual_seed(0)
+    f = NFFT // 2 + 1
+    n = len(DELAYS)
+    nper = n // NUM_GROUPS
+    delays = torch.tensor(DELAYS, dtype=torch.float32)
+    gains = []
+    for k in range(NUM_GROUPS):
+        d = np.asarray(DELAYS[4 * k : 4 * k + 4])
+        gains.append(10.0 ** (-3.0 * d / (FS * T60S[k])))
+    gamma = torch.tensor(np.concatenate(gains), dtype=torch.float32)
+
+    m_param = torch.randn(NUM_GROUPS, nper, nper, requires_grad=True)
+    b_gain = torch.randn(n, 1, requires_grad=True)
+    c_gain = torch.randn(n, 1, requires_grad=True)
+    mlp = torch.nn.Sequential(
+        torch.nn.Linear(60, 128), torch.nn.LayerNorm(128), torch.nn.ReLU(),
+        torch.nn.Linear(128, 128), torch.nn.LayerNorm(128), torch.nn.ReLU(),
+        torch.nn.Linear(128, 128), torch.nn.LayerNorm(128), torch.nn.ReLU(),
+        torch.nn.Linear(128, 128), torch.nn.LayerNorm(128), torch.nn.ReLU(),
+        torch.nn.Linear(128, NUM_GROUPS),
+    )
+    opt = torch.optim.Adam(
+        [m_param, b_gain, c_gain] + list(mlp.parameters()), lr=1e-3
+    )
+
+    batch = make_batch(f)
+    z = torch.tensor(batch["z_values"])
+    pos = torch.tensor(batch["norm_listener_position"])
+    target = torch.tensor(batch["target_rir_response"])
+    freqs = torch.exp(torch.linspace(np.log(1.0), np.log(32.0), 10))
+    mix_samps = int(0.02 * FS)
+    max_len = int(1.1 * FS)
+
+    def step():
+        opt.zero_grad()
+        # position encoding + MLP head
+        phase = freqs[None, :, None] * np.pi * pos[:, None, :]
+        enc = torch.cat([torch.sin(phase), torch.cos(phase)], dim=-1).reshape(
+            BATCH, -1
+        )
+        g = torch.sigmoid(mlp(enc)) * 2.0 - 1.0  # (B, G)
+        c_mod = g.repeat_interleave(nper, dim=1)  # (B, N)
+
+        # feedback loop: P = inv(D Gamma^-1 - A) over all bins
+        skew = torch.triu(m_param, 1)
+        skew = skew - skew.transpose(-1, -2)
+        o = torch.matrix_exp(skew)  # (G, nper, nper)
+        block = torch.einsum("gab,hbc->gahc", o, o).reshape(n, n)
+        a = block.to(torch.complex64)
+        d_diag = z[:, None] ** delays[None, :] / gamma[None, :]
+        m = torch.diag_embed(d_diag) - a[None]
+        p = torch.linalg.inv(m)  # (F, N, N) complex
+
+        c = c_mod.to(torch.complex64)[:, :, None] * c_gain.to(torch.complex64)[None]
+        b = b_gain.to(torch.complex64)[None].expand(BATCH, n, 1)
+        t_mat = torch.einsum("bn,fnm->bmf", c[..., 0], p)
+        h = torch.einsum("bmf,bm->bf", t_mat, b[..., 0])
+
+        # EDC loss
+        tgt_rir = torch.fft.irfft(target, NFFT)[..., mix_samps:max_len]
+        ach_rir = torch.fft.irfft(h, NFFT)[..., mix_samps:max_len]
+
+        def edc(x):
+            return torch.flip(
+                torch.cumsum(torch.flip(x ** 2, dims=[-1]), dim=-1), dims=[-1]
+            )
+
+        loss_edc = torch.mean(
+            torch.abs(
+                10 * torch.log10(edc(tgt_rir) + 1e-9)
+                - 10 * torch.log10(edc(ach_rir) + 1e-9)
+            )
+        )
+        # EDR loss
+        win = torch.hann_window(4096)
+        s_t = torch.stft(
+            torch.fft.irfft(target, NFFT), 4096, 2048, window=win,
+            center=False, return_complex=True,
+        )
+        s_a = torch.stft(
+            torch.fft.irfft(h, NFFT), 4096, 2048, window=win,
+            center=False, return_complex=True,
+        )
+
+        def edr(s):
+            p_ = torch.abs(s) ** 2
+            return 10 * torch.log10(
+                torch.flip(torch.cumsum(torch.flip(p_, dims=[-1]), dim=-1), dims=[-1])
+                + 1e-9
+            )
+
+        loss_edr = torch.sum(torch.abs(edr(s_t) - edr(s_a))) / torch.sum(
+            torch.abs(edr(s_t))
+        )
+        loss = loss_edc + loss_edr
+        loss.backward()
+        opt.step()
+        return float(loss)
+
+    t0 = time.time()
+    step()
+    warm = time.time() - t0
+    log(f"torch warmup step: {warm:.1f}s")
+    t0 = time.time()
+    for _ in range(steps):
+        step()
+    dt = (time.time() - t0) / steps
+    log(f"torch cpu step: {dt:.2f} s -> {1.0 / dt:.3f} steps/s")
+    return 1.0 / dt
+
+
+def main():
+    tpu_sps = bench_tpu()
+    try:
+        cpu_sps = bench_torch_cpu()
+        vs = tpu_sps / cpu_sps
+    except Exception as e:  # noqa: BLE001
+        log("torch baseline failed:", e)
+        vs = None
+    print(
+        json.dumps(
+            {
+                "metric": "fullband_train_steps_per_sec",
+                "value": round(tpu_sps, 3),
+                "unit": "steps/sec",
+                "vs_baseline": None if vs is None else round(vs, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

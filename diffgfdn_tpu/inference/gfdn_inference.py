@@ -1,0 +1,193 @@
+"""GFDN inference: regenerate RIRs from trained checkpoints.
+
+Reference behaviour: src/diff_gfdn/inference.py:50-881 (InferDiffGFDN,
+InferDiffDirectionalFDN, octave-band merge) — walk checkpoints backwards,
+run the network over the dataset positions, irfft to RIRs (undoing the
+reduced-pole-radius envelope), optionally filter each band's output with
+the reconstructing filterbank and sum across bands.
+
+TPU notes: the jitted synthesis function keeps complex arrays inside the
+program (inputs re/im-encoded, output is the real RIR).
+"""
+
+import logging
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.signal import fftconvolve
+
+from ..config.schema import DiffGFDNConfig
+from ..data.batching import arrays_from_room_dataset, gather_batch
+from ..data.room_dataset import RoomDataset
+from ..ops.filterbanks import reconstructing_fractional_octave_bands
+from ..training.build import build_gfdn_model
+from ..training.checkpoints import load_latest_checkpoint
+from ..utils.cio import decode_batch, encode_batch
+
+logger = logging.getLogger("diffgfdn_tpu")
+
+
+def make_rir_synthesis_fn(model, reduced_pole_radius: float = 1.0):
+    """Jitted (params, encoded_batch) -> time-domain RIRs (B, nfft).
+
+    irffts the model's transfer function and undoes sampling outside the
+    unit circle with a growing exponential (reference: trainer.py:528-532).
+    """
+
+    @jax.jit
+    def synth(params, enc_batch):
+        batch = decode_batch(enc_batch)
+        out = model.apply(params, batch)
+        h = out[0] if model.use_colorless_loss else out
+        n = 2 * (h.shape[-1] - 1)
+        rir = jnp.fft.irfft(h, n, axis=-1)
+        if reduced_pole_radius != 1.0:
+            rir = rir * jnp.power(
+                1.0 / reduced_pole_radius, jnp.arange(rir.shape[-1])
+            )
+        return rir
+
+    return synth
+
+
+class InferDiffGFDN:
+    """Regenerate RIRs and head parameters from a trained checkpoint."""
+
+    def __init__(
+        self,
+        config: DiffGFDNConfig,
+        room_data: RoomDataset,
+        variant: str = "var_receiver",
+        params: Optional[Dict] = None,
+    ):
+        self.config = config
+        self.room_data = room_data
+        self.model = build_gfdn_model(
+            config,
+            common_decay_times=room_data.common_decay_times,
+            band_centre_hz=room_data.band_centre_hz,
+            variant=variant,
+        )
+        if params is None:
+            params = load_latest_checkpoint(
+                config.trainer_config.train_dir, config.trainer_config.max_epochs
+            )
+            if params is None:
+                raise FileNotFoundError(
+                    f"no checkpoint under {config.trainer_config.train_dir}"
+                )
+        self.params = params
+        self._synth = make_rir_synthesis_fn(
+            self.model, config.trainer_config.reduced_pole_radius
+        )
+
+    def rirs_at(self, rec_indices: np.ndarray, batch_size: int = 32) -> np.ndarray:
+        """Synthesize RIRs at the given dataset receiver indices."""
+        tc = self.config.trainer_config
+        arrays = arrays_from_room_dataset(
+            self.room_data,
+            new_sampling_radius=(
+                None
+                if tc.reduced_pole_radius == 1.0
+                else 1.0 / tc.reduced_pole_radius
+            ),
+        )
+        outs = []
+        rec_indices = np.asarray(rec_indices)
+        for k in range(0, len(rec_indices), batch_size):
+            idx = rec_indices[k : k + batch_size]
+            # pad to full batch for a single compile, then trim
+            pad = batch_size - len(idx)
+            idx_p = np.concatenate([idx, idx[:1].repeat(pad)]) if pad else idx
+            batch = encode_batch(gather_batch(arrays, idx_p))
+            rir = np.asarray(self._synth(self.params, batch))
+            outs.append(rir[: len(idx)])
+        return np.concatenate(outs, axis=0)
+
+    def head_outputs(self, rec_indices: np.ndarray) -> Dict:
+        """Per-position head outputs (gains / SVF params) at the indices."""
+        arrays = arrays_from_room_dataset(self.room_data)
+        batch = gather_batch(arrays, np.asarray(rec_indices))
+        enc = encode_batch(batch)
+
+        @jax.jit
+        def run(params, b):
+            return self.model.apply(
+                params, decode_batch(b), method=type(self.model).head_outputs
+            )
+
+        out = run(self.params, enc)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+
+def subband_energy_compensation(
+    band_filter: np.ndarray, num_freq_bins: int
+) -> float:
+    """Energy compensation for training on band-filtered targets.
+
+    The reference scales each band model's output by the inverse RMS of its
+    band filter over the training grid (inference.py:147-159 semantics).
+    """
+    resp = np.fft.rfft(band_filter, num_freq_bins)
+    return float(1.0 / np.sqrt(np.mean(np.abs(resp) ** 2) + 1e-12))
+
+
+def merge_subband_rirs(
+    band_rirs: List[np.ndarray],
+    band_filters: np.ndarray,
+) -> np.ndarray:
+    """Filter each band's synthesized RIRs with its reconstructing filter
+    and sum across bands -> broadband RIRs.
+
+    ``band_rirs``: list of (num_pos, T) arrays, one per band;
+    ``band_filters``: (num_bands, filt_len). Group delay of the linear-phase
+    filterbank is compensated (reference:
+    run_subband_training_treble.py:308-373).
+    """
+    num_bands = len(band_rirs)
+    num_pos, t_len = band_rirs[0].shape
+    filt_len = band_filters.shape[-1]
+    delay = filt_len // 2
+    out = np.zeros((num_pos, t_len))
+    for b in range(num_bands):
+        filtered = fftconvolve(
+            band_rirs[b], band_filters[b][None, :], mode="full", axes=-1
+        )
+        out += filtered[:, delay : delay + t_len]
+    return out
+
+
+def infer_all_octave_bands(
+    configs: List[DiffGFDNConfig],
+    room_data: RoomDataset,
+    rec_indices: np.ndarray,
+    variant: str = "var_receiver",
+    fir_len: int = 2 ** 12,
+) -> np.ndarray:
+    """Run all per-band models and reconstruct broadband RIRs.
+
+    One config per octave band (with its subband_process_config set); the
+    per-band outputs are band-filtered and summed (reference:
+    run_subband_training_treble.py:207-375).
+    """
+    centre_freqs = [
+        c.trainer_config.subband_process_config.centre_frequency for c in configs
+    ]
+    frange = configs[0].trainer_config.subband_process_config.frequency_range
+    filters, centers = reconstructing_fractional_octave_bands(
+        num_fractions=1,
+        frequency_range=frange,
+        n_samples=fir_len,
+        sampling_rate=room_data.sample_rate,
+    )
+    band_idx = [int(np.argmin(np.abs(centers - fc))) for fc in centre_freqs]
+    filters = filters[band_idx]
+
+    band_rirs = []
+    for cfg in configs:
+        infer = InferDiffGFDN(cfg, room_data, variant=variant)
+        band_rirs.append(infer.rirs_at(rec_indices))
+    return merge_subband_rirs(band_rirs, filters)

@@ -1,0 +1,316 @@
+"""6DoF rendering: moving-receiver convolution and binaural SH rendering.
+
+Reference behaviour: src/sound_examples.py:25-539 —
+* :func:`add_direct_and_early_path` — splice measured direct/early parts
+  onto synthesized late tails with crossfades and energy matching;
+* :class:`DynamicRenderingMovingReceiver` — time-varying overlap-add
+  convolution with linear crossfades as the listener moves;
+* :class:`BinauralDynamicRendering` — SH-domain head rotation +
+  conj(HRTF-SH) beamforming per hop with sqrt (uncorrelated) crossfades;
+* :func:`normalise_loudness` — BS.1770-style K-weighted loudness
+  normalization (replaces pyloudnorm).
+
+Host-side numpy throughout: this is streaming playback tooling, not a
+training path; the per-hop BRIR math is small.
+"""
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+from scipy.signal import fftconvolve, lfilter
+
+from ..data.room_dataset import RoomDataset
+from ..ops.basic import ms_to_samps
+from ..ops.sph import sh_rotation_yaw_pitch_roll
+
+
+def add_direct_and_early_path(
+    ref_rirs: np.ndarray,
+    ref_positions: np.ndarray,
+    late_rirs: np.ndarray,
+    positions: np.ndarray,
+    sample_rate: float,
+    mixing_time_ms: float = 50.0,
+    win_len_ms: float = 5.0,
+) -> np.ndarray:
+    """Splice measured early parts onto synthesized late tails.
+
+    ``ref_rirs``: (R_ref, [C,] T) measured set; ``late_rirs``: ([R,] [C,] T)
+    synthesized tails at ``positions``. The early part comes from the
+    nearest measured receiver; the late gain is matched at the mixing time
+    using short-time energy envelopes; both sides are crossfaded
+    (reference: sound_examples.py:25-77).
+    """
+    from .cs_synthesis import calculate_energy_envelope
+
+    d = np.linalg.norm(ref_positions[:, None, :] - positions[None], axis=-1)
+    closest = np.argmin(d, axis=0)
+
+    mix = ms_to_samps(mixing_time_ms, sample_rate)
+    wl = ms_to_samps(2 * win_len_ms, sample_rate)
+    window = np.hanning(wl)
+    fade_out = window[wl // 2 :]
+    fade_in = window[: wl // 2]
+
+    early = np.zeros_like(late_rirs)
+    early[..., : mix + wl // 2] = ref_rirs[closest][..., : mix + wl // 2]
+    late = np.zeros_like(late_rirs)
+    late[..., mix:] = late_rirs[..., mix:]
+
+    early_env = calculate_energy_envelope(early[..., :mix], sample_rate, 20)
+    late_env = calculate_energy_envelope(late[..., mix:], sample_rate, 20)
+    gain = np.sqrt(
+        early_env[..., -1:] / (late_env[..., :1] + 1e-12)
+    )
+    late = late * gain
+
+    early[..., mix : mix + wl // 2] *= fade_out
+    late[..., mix : mix + wl // 2] *= fade_in
+    return early + late
+
+
+def fade_windows(
+    win_len_samps: int, fade_out: bool = False, uncorr_fade: bool = False
+) -> np.ndarray:
+    """Linear fades; sqrt version for uncorrelated (binaural) material."""
+    n = np.linspace(-1.0, 1.0, win_len_samps)
+    fade = 0.5 * (1.0 + (1.0 - 2.0 * float(fade_out)) * n)
+    return np.sqrt(fade) if uncorr_fade else fade
+
+
+def k_weighting_coeffs(fs: float) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """BS.1770 K-weighting: high-shelf + high-pass biquads at rate fs."""
+    # stage 1: shelving (+4 dB high shelf)
+    f0, g_db, q = 1681.974450955533, 3.999843853973347, 0.7071752369554196
+    k = np.tan(np.pi * f0 / fs)
+    vh = 10.0 ** (g_db / 20.0)
+    vb = vh ** 0.4996667741545416
+    a0 = 1.0 + k / q + k * k
+    b_shelf = np.array(
+        [(vh + vb * k / q + k * k), 2.0 * (k * k - vh), (vh - vb * k / q + k * k)]
+    ) / a0
+    a_shelf = np.array([1.0, 2.0 * (k * k - 1.0) / a0, (1.0 - k / q + k * k) / a0])
+    # stage 2: high pass
+    f0, q = 38.13547087602444, 0.5003270373238773
+    k = np.tan(np.pi * f0 / fs)
+    denom = 1.0 + k / q + k * k
+    b_hp = np.array([1.0, -2.0, 1.0])
+    a_hp = np.array(
+        [1.0, 2.0 * (k * k - 1.0) / denom, (1.0 - k / q + k * k) / denom]
+    )
+    return [(b_shelf, a_shelf), (b_hp, a_hp)]
+
+
+def integrated_loudness(signal: np.ndarray, fs: float) -> float:
+    """Gated BS.1770 integrated loudness in LUFS (mono or (T, C))."""
+    x = signal if signal.ndim == 2 else signal[:, None]
+    for b, a in k_weighting_coeffs(fs):
+        x = lfilter(b, a, x, axis=0)
+    block = int(0.4 * fs)
+    hop = int(0.1 * fs)
+    n_blocks = max(1, (x.shape[0] - block) // hop + 1)
+    ms = np.array(
+        [np.mean(x[i * hop : i * hop + block] ** 2, axis=0).sum() for i in range(n_blocks)]
+    )
+    loud = -0.691 + 10.0 * np.log10(ms + 1e-12)
+    gate1 = loud > -70.0
+    if not gate1.any():
+        return -70.0
+    rel = -0.691 + 10.0 * np.log10(np.mean(ms[gate1]) + 1e-12) - 10.0
+    gate2 = gate1 & (loud > rel)
+    if not gate2.any():
+        gate2 = gate1
+    return float(-0.691 + 10.0 * np.log10(np.mean(ms[gate2]) + 1e-12))
+
+
+def normalise_loudness(
+    signal: np.ndarray, fs: float, db_lufs: float = -18.0
+) -> np.ndarray:
+    """Scale the signal to the target integrated loudness."""
+    cur = integrated_loudness(signal, fs)
+    return signal * 10.0 ** ((db_lufs - cur) / 20.0)
+
+
+class DynamicRenderingMovingReceiver:
+    """Time-varying convolution for a listener moving over the RIR grid.
+
+    Reference: sound_examples.py:80-353 (minus the matplotlib animation).
+    """
+
+    def __init__(
+        self,
+        room_dataset: RoomDataset,
+        rec_pos_list: np.ndarray,
+        stimulus: np.ndarray,
+        update_ms: float = 100.0,
+    ):
+        self.room = room_dataset
+        self.sample_rate = room_dataset.sample_rate
+        self.rec_pos_list = np.asarray(rec_pos_list)
+        self.num_pos = self.rec_pos_list.shape[0]
+        self.update_ms = update_ms
+        self.hop_size = ms_to_samps(update_ms, self.sample_rate)
+        self.stimulus = np.asarray(stimulus, np.float32)
+        self.extended_stimulus = self._extend_stimulus()
+
+    @property
+    def total_sim_len(self) -> int:
+        return self.num_pos * self.hop_size
+
+    @property
+    def rec_idxs(self) -> np.ndarray:
+        return self.room.find_rec_idx(self.rec_pos_list)
+
+    def _extend_stimulus(self) -> np.ndarray:
+        total = self.total_sim_len
+        reps = int(np.ceil(total / len(self.stimulus)))
+        return np.tile(self.stimulus, reps)[:total]
+
+    def _rirs(self, use_whole_rir: bool) -> np.ndarray:
+        if use_whole_rir:
+            return self.room.rirs[self.rec_idxs]
+        from ..data.room_dataset import early_late_split
+
+        _, late = early_late_split(
+            self.room.rirs, self.room.mixing_time_ms, self.sample_rate
+        )
+        full_late = np.zeros_like(self.room.rirs)
+        mix = ms_to_samps(self.room.mixing_time_ms, self.sample_rate)
+        full_late[..., mix:] = late
+        return full_late[self.rec_idxs]
+
+    def filter_overlap_add(
+        self,
+        use_whole_rir: bool = False,
+        alpha: float = 0.5,
+        fade_len_ms: float = 50.0,
+    ) -> np.ndarray:
+        """Convolve hop-wise with position-interpolated RIRs + crossfades."""
+        rirs = self._rirs(use_whole_rir)
+        out = np.zeros_like(self.extended_stimulus)
+        fade_len = ms_to_samps(fade_len_ms, self.sample_rate)
+        f_out = fade_windows(fade_len, fade_out=True)
+        f_in = fade_windows(fade_len, fade_out=False)
+        prev_tail = np.zeros(fade_len)
+        prev_filter = None
+
+        for k in range(self.num_pos):
+            sl = slice(k * self.hop_size, min((k + 1) * self.hop_size, len(out)))
+            cur_filter = rirs[k]
+            if prev_filter is not None:
+                cur_filter = alpha * cur_filter + (1 - alpha) * prev_filter
+            prev_filter = cur_filter
+
+            seg = fftconvolve(self.extended_stimulus[sl], cur_filter, mode="full")
+            start = k * self.hop_size
+            end = min(start + len(seg), len(out))
+            seg = seg[: end - start]
+            if k > 0:
+                ov = min(fade_len, len(seg))
+                out[start : start + ov] += (
+                    prev_tail[:ov] * f_out[:ov] + seg[:ov] * f_in[:ov]
+                )
+                out[start + ov : end] += seg[ov:]
+            else:
+                out[start:end] += seg
+            if len(seg) >= fade_len:
+                prev_tail[:] = seg[-fade_len:]
+            else:
+                prev_tail[: len(seg)] = seg
+        return out
+
+
+class BinauralDynamicRendering(DynamicRenderingMovingReceiver):
+    """Moving listener + rotating head: SH rotation, HRTF-SH beamforming.
+
+    ``room_dataset`` must hold ambisonic RIRs (num_pos, (N+1)^2, T);
+    ``orientation_list``: (num_pos, 2) yaw/pitch in radians. Reference:
+    sound_examples.py:356-539.
+    """
+
+    def __init__(
+        self,
+        room_dataset,
+        rec_pos_list: np.ndarray,
+        orientation_list: np.ndarray,
+        stimulus: np.ndarray,
+        hrir_sh: np.ndarray,
+        update_ms: float = 100.0,
+        use_whole_rir: bool = False,
+        mixing_time_ms: float = 50.0,
+    ):
+        super().__init__(room_dataset, rec_pos_list, stimulus, update_ms)
+        self.orientation_list = np.asarray(orientation_list, np.float64).copy()
+        self.orientation_list[:, -1] = -self.orientation_list[:, -1]  # pitch
+        assert self.orientation_list.shape[0] == self.num_pos
+        self.use_whole_rir = use_whole_rir
+        self.ambi_order = int(np.sqrt(room_dataset.rirs.shape[1]) - 1)
+        self.mixing_time_ms = mixing_time_ms
+        self.hrir_sh = hrir_sh  # (n_sh, 2, T)
+        self._init_freq_domain()
+
+    def _init_freq_domain(self):
+        self.num_freq_bins = int(2 ** np.ceil(np.log2(self.room.rir_length)))
+        rirs = self.room.rirs
+        if not self.use_whole_rir:
+            from ..data.room_dataset import early_late_split
+
+            _, late = early_late_split(
+                rirs, self.mixing_time_ms, self.sample_rate, win_len_ms=10.0
+            )
+            rirs = np.concatenate(
+                [np.zeros(rirs.shape[:-1] + (rirs.shape[-1] - late.shape[-1],)), late],
+                axis=-1,
+            )
+        self.ambi_rtfs = np.fft.rfft(rirs[self.rec_idxs], self.num_freq_bins, axis=-1)
+        self.ambi_hrtfs = np.fft.rfft(self.hrir_sh, self.num_freq_bins, axis=-1)
+        self._prev_rot = None
+        self._prev_rtf = None
+
+    def get_binaural_rir(
+        self, head_orientation: Tuple[float, float], rec_pos_idx: int,
+        alpha: float = 0.5,
+    ) -> np.ndarray:
+        """(num_freq_bins, 2) BRIR for one hop (rotation + HRTF-SH conv)."""
+        cur_rtf = self.ambi_rtfs[rec_pos_idx]
+        rot = sh_rotation_yaw_pitch_roll(
+            self.ambi_order, -head_orientation[0], -head_orientation[1], 0.0
+        )
+        w_rot = rot if self._prev_rot is None else alpha * rot + (1 - alpha) * self._prev_rot
+        w_rtf = cur_rtf if self._prev_rtf is None else alpha * cur_rtf + (1 - alpha) * self._prev_rtf
+        rotated = w_rtf.T @ w_rot.T  # (F, n_sh)
+        brtf = np.einsum("nrf,fn->fr", np.conj(self.ambi_hrtfs), rotated)
+        self._prev_rot = rot
+        self._prev_rtf = cur_rtf
+        return np.fft.irfft(brtf, self.num_freq_bins, axis=0)
+
+    def binaural_filter_overlap_add(self) -> np.ndarray:
+        """Hop-wise binaural convolution with sqrt crossfades -> (T, 2)."""
+        out = np.zeros((len(self.extended_stimulus), 2))
+        fade_len = ms_to_samps(self.update_ms, self.sample_rate)
+        f_out = fade_windows(fade_len, fade_out=True, uncorr_fade=True)
+        f_in = fade_windows(fade_len, fade_out=False, uncorr_fade=True)
+        prev_tail = np.zeros((fade_len, 2))
+
+        for k in range(self.num_pos):
+            sl = slice(k * self.hop_size, min((k + 1) * self.hop_size, len(out)))
+            stim = self.extended_stimulus[sl]
+            brir = self.get_binaural_rir(self.orientation_list[k], k)
+            start = k * self.hop_size
+            for j in range(2):
+                seg = fftconvolve(stim, brir[:, j], mode="full")
+                end = min(start + len(seg), out.shape[0])
+                seg = seg[: end - start]
+                if k > 0:
+                    ov = min(fade_len, len(seg))
+                    out[start : start + ov, j] += (
+                        prev_tail[:ov, j] * f_out[:ov] + seg[:ov] * f_in[:ov]
+                    )
+                    out[start + ov : end, j] += seg[ov:]
+                else:
+                    out[start:end, j] += seg
+                if len(seg) >= fade_len:
+                    prev_tail[:, j] = seg[-fade_len:]
+                else:
+                    prev_tail[: len(seg), j] = seg
+        return out

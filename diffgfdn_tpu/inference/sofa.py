@@ -1,0 +1,199 @@
+"""Minimal SOFA (Spatially Oriented Format for Acoustics) I/O via h5py.
+
+Replaces the reference's sofar/soundfile stack (sofa_parser.py:265-532):
+* :class:`HRIRSOFAReader` — reads SimpleFreeFieldHRIR-style files
+  (Data.IR (M, R, N), SourcePosition (M, 3)), resampling, SH projection;
+* :class:`SRIRSOFAWriter` — writes SingleRoomSRIR-style files;
+* :func:`convert_srir_to_brir` — SRIR -> BRIR for head orientations.
+
+SOFA files are netCDF4 (=HDF5); h5py reads them directly. Files we write
+use plain HDF5 datasets with the SOFA dataset names and global attributes —
+readable by this module and by h5py-based tooling.
+"""
+
+import logging
+from pathlib import Path
+from typing import Optional, Tuple, Union
+
+import numpy as np
+from scipy.signal import resample_poly
+
+from ..ops.sph import sh_matrix, sh_rotation_yaw_pitch_roll
+
+logger = logging.getLogger("diffgfdn_tpu")
+
+
+def _fraction(ratio: float, max_den: int = 1000) -> Tuple[int, int]:
+    from fractions import Fraction
+
+    f = Fraction(ratio).limit_denominator(max_den)
+    return f.numerator, f.denominator
+
+
+class HRIRSOFAReader:
+    """HRIR SOFA reader (listener-view HRIR sets)."""
+
+    def __init__(self, path: Union[str, Path]):
+        import h5py
+
+        with h5py.File(str(path), "r") as f:
+            self.ir_data = np.asarray(f["Data.IR"])  # (M, R, N)
+            fs = np.asarray(f["Data.SamplingRate"]).ravel()
+            self.fs = float(fs[0])
+            self.source_position = np.asarray(f["SourcePosition"])
+            self.listener_position = np.asarray(
+                f["ListenerPosition"]
+            ) if "ListenerPosition" in f else None
+            spu = f["SourcePosition"].attrs.get("Units", b"")
+            self.source_units = (
+                spu.decode() if isinstance(spu, bytes) else str(spu)
+            )
+        self.num_meas, self.num_receivers, self.ir_length = self.ir_data.shape
+
+    @property
+    def listener_view(self) -> np.ndarray:
+        """(M, 3) direction of each measurement: (azi_deg, ele_deg, r)."""
+        sp = self.source_position
+        if "degree" in self.source_units or self.source_units == "":
+            return sp
+        # cartesian -> spherical degrees
+        x, y, z = sp[:, 0], sp[:, 1], sp[:, 2]
+        r = np.linalg.norm(sp, axis=-1)
+        azi = np.rad2deg(np.arctan2(y, x))
+        ele = np.rad2deg(np.arcsin(np.clip(z / np.maximum(r, 1e-9), -1, 1)))
+        return np.stack([azi, ele, r], axis=-1)
+
+    def resample_hrirs(self, new_fs: float):
+        """Polyphase resample all HRIRs to ``new_fs``."""
+        if new_fs == self.fs:
+            return
+        up, down = _fraction(new_fs / self.fs)
+        self.ir_data = resample_poly(self.ir_data, up, down, axis=-1)
+        self.fs = new_fs
+        self.ir_length = self.ir_data.shape[-1]
+
+    def get_ir_from_view(self, des_views_deg: np.ndarray) -> np.ndarray:
+        """Nearest-measurement HRIRs for (azi_deg, ele_deg) queries."""
+        des_views_deg = np.atleast_2d(des_views_deg)
+        view = self.listener_view
+        azi = np.deg2rad(view[:, 0])
+        ele = np.deg2rad(view[:, 1])
+        xyz = np.stack(
+            [np.cos(ele) * np.cos(azi), np.cos(ele) * np.sin(azi), np.sin(ele)],
+            axis=-1,
+        )
+        azi_q = np.deg2rad(des_views_deg[:, 0])
+        ele_q = np.deg2rad(des_views_deg[:, 1])
+        q = np.stack(
+            [np.cos(ele_q) * np.cos(azi_q), np.cos(ele_q) * np.sin(azi_q),
+             np.sin(ele_q)],
+            axis=-1,
+        )
+        idx = np.argmax(xyz @ q.T, axis=0)
+        return self.ir_data[idx]
+
+    def get_spherical_harmonic_representation(self, ambi_order: int) -> np.ndarray:
+        """SH-domain HRIRs: (n_sh, 2, T) via least-squares SH projection.
+
+        Reference: sofa_parser.py:265-287 (Y^T-weighted fit).
+        """
+        fft_size = int(2 ** np.ceil(np.log2(self.ir_length)))
+        hrtfs = np.fft.rfft(self.ir_data, fft_size, axis=-1)  # (M, R, F)
+        azi = np.deg2rad(self.listener_view[:, 0])
+        zen = np.deg2rad(90.0 - self.listener_view[:, 1])
+        y = sh_matrix(ambi_order, azi, zen)  # (M, Q)
+        # least squares: pinv handles non-uniform measurement grids
+        proj = np.linalg.pinv(y)  # (Q, M)
+        sh_hrtfs = np.einsum("nd,drf->nrf", proj, hrtfs)
+        return np.fft.irfft(sh_hrtfs, fft_size, axis=-1)[..., : self.ir_length]
+
+
+class SRIRSOFAWriter:
+    """Write ambisonic SRIR sets as SingleRoomSRIR-style SOFA files."""
+
+    def __init__(
+        self,
+        num_receivers: int,
+        ambi_order: int,
+        ir_length: int,
+        samplerate: float = 48000.0,
+    ):
+        self.num_receivers = num_receivers
+        self.ambi_order = ambi_order
+        self.num_channels = (ambi_order + 1) ** 2
+        self.ir_length = ir_length
+        self.fs = float(samplerate)
+        self.ir_data = np.zeros((num_receivers, self.num_channels, ir_length))
+        self.receiver_positions = np.zeros((num_receivers, 3))
+        self.source_positions = np.zeros((1, 3))
+
+    def set_ir_data(self, irs: np.ndarray):
+        assert irs.shape == self.ir_data.shape, (irs.shape, self.ir_data.shape)
+        self.ir_data = np.asarray(irs)
+
+    def set_receiver_positions(self, pos: np.ndarray):
+        self.receiver_positions = np.atleast_2d(pos)
+
+    def set_source_positions(self, pos: np.ndarray):
+        self.source_positions = np.atleast_2d(pos)
+
+    def resample_srirs(self, new_fs: float):
+        if new_fs == self.fs:
+            return
+        up, down = _fraction(new_fs / self.fs)
+        self.ir_data = resample_poly(self.ir_data, up, down, axis=-1)
+        self.fs = new_fs
+        self.ir_length = self.ir_data.shape[-1]
+
+    def write_to_file(self, path: Union[str, Path]):
+        import h5py
+
+        with h5py.File(str(path), "w") as f:
+            f.attrs["Conventions"] = "SOFA"
+            f.attrs["SOFAConventions"] = "SingleRoomSRIR"
+            f.attrs["DataType"] = "FIR"
+            f.attrs["AmbisonicsOrder"] = self.ambi_order
+            f.create_dataset("Data.IR", data=self.ir_data.astype(np.float64))
+            f.create_dataset(
+                "Data.SamplingRate", data=np.array([self.fs])
+            )
+            f.create_dataset(
+                "ListenerPosition", data=self.receiver_positions.astype(np.float64)
+            )
+            f.create_dataset(
+                "SourcePosition", data=self.source_positions.astype(np.float64)
+            )
+        logger.info("wrote SOFA file %s", path)
+
+
+def convert_srir_to_brir(
+    srirs: np.ndarray,
+    hrtf_reader: HRIRSOFAReader,
+    head_orientations: np.ndarray,
+) -> np.ndarray:
+    """SRIRs -> BRIRs for a set of head orientations.
+
+    ``srirs``: (num_pos, (N+1)^2, T); ``head_orientations``: (num_ori, 2)
+    yaw/pitch in radians. Returns (num_pos, num_ori, nfft, 2)
+    (reference: sofa_parser.py:452-504).
+    """
+    ambi_order = int(np.sqrt(srirs.shape[1]) - 1)
+    num_pos = srirs.shape[0]
+    nfft = int(2 ** np.ceil(np.log2(srirs.shape[-1])))
+
+    hrir_sh = hrtf_reader.get_spherical_harmonic_representation(ambi_order)
+    ambi_rtfs = np.fft.rfft(srirs, nfft, axis=-1)  # (P, Q, F)
+    ambi_hrtfs = np.fft.rfft(hrir_sh, nfft, axis=-1)  # (Q, 2, F)
+
+    num_ori = head_orientations.shape[0]
+    # precompute rotation matrices once per orientation
+    rots = np.stack(
+        [
+            sh_rotation_yaw_pitch_roll(ambi_order, -o[0], -o[1], 0.0)
+            for o in head_orientations
+        ]
+    )  # (O, Q, Q)
+    # rotated[p, o, f, q] = sum_n rtf[p, n, f] rot[o, q, n]
+    rotated = np.einsum("pnf,oqn->pofq", ambi_rtfs, rots)
+    brtf = np.einsum("nrf,pofn->pofr", np.conj(ambi_hrtfs), rotated)
+    return np.fft.irfft(brtf, nfft, axis=-2)

@@ -480,5 +480,5 @@ class DiffDirectionalFDNVarReceiverPos(DiffGFDN):
 
         Reference: trainer.py:853-865.
         """
-        a = jnp.asarray(self.analysis_matrix, jnp.complex64)
+        a = np.asarray(self.analysis_matrix, np.float32)
         return jnp.einsum("jl,blk->bjk", a, h_sh)

@@ -206,6 +206,24 @@ def rotation_matrix_zyz(alpha: float, beta: float, gamma: float) -> np.ndarray:
     return rz(alpha) @ ry(beta) @ rz(gamma)
 
 
+def rotation_matrix_ypr(yaw: float, pitch: float, roll: float) -> np.ndarray:
+    """3x3 rotation from yaw (about z), pitch (about y), roll (about x)."""
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    cr, sr = np.cos(roll), np.sin(roll)
+    rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
+    ry = np.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]])
+    rx = np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]])
+    return rz @ ry @ rx
+
+
+def sh_rotation_yaw_pitch_roll(
+    n_max: int, yaw: float, pitch: float, roll: float = 0.0
+) -> np.ndarray:
+    """Real-SH rotation matrix for a yaw/pitch/roll head orientation."""
+    return sh_rotation_matrix(n_max, rotation_matrix_ypr(yaw, pitch, roll))
+
+
 def sh_rotation_matrix(n_max: int, rot: np.ndarray) -> np.ndarray:
     """Block-diagonal real-SH rotation matrix for a 3x3 rotation ``rot``.
 

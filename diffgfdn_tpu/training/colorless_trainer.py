@@ -39,7 +39,9 @@ class ColorlessFDNTrainer:
         self.train_loss: List[float] = []
         self.valid_loss: List[float] = []
 
-        def loss_fn(params, z, with_per_del: bool):
+        def loss_fn(params, z_angles, with_per_del: bool):
+            # angles cross the jit boundary (real); z is built in-program
+            z = jnp.exp(1j * z_angles).astype(jnp.complex64)
             h, h_per_del = self.model.apply(params, z)
             spectral = self.spectral_fn(h, jnp.ones_like(jnp.abs(h)))
             if with_per_del:
@@ -55,22 +57,39 @@ class ColorlessFDNTrainer:
         self._loss_valid = jax.jit(lambda p, z: loss_fn(p, z, True))
         self._grad = jax.jit(jax.value_and_grad(lambda p, z: loss_fn(p, z, False)))
 
-    def normalize(self, params, z):
+        def normalize_fn(params, z_angles):
+            z = jnp.exp(1j * z_angles).astype(jnp.complex64)
+            h, _ = self.model.apply(params, z)
+            energy = jnp.mean(jnp.abs(h) ** 2)
+            scale = jnp.power(energy, 0.25)
+            p = dict(params["params"])
+            p["input_gains"] = p["input_gains"] / scale
+            p["output_gains"] = p["output_gains"] / scale
+            out = dict(params)
+            out["params"] = p
+            return out
+
+        self._normalize = jax.jit(normalize_fn)
+
+    def normalize(self, params, z_angles):
         """Unit average FDN energy via io-gain scaling (trainer.py:160-168)."""
-        h, _ = self.model.apply(params, z)
-        energy = jnp.mean(jnp.abs(h) ** 2)
-        scale = jnp.power(energy, 0.25)
-        p = dict(params["params"])
-        p["input_gains"] = p["input_gains"] / scale
-        p["output_gains"] = p["output_gains"] / scale
-        out = dict(params)
-        out["params"] = p
-        return out
+        return self._normalize(params, jnp.asarray(z_angles))
+
+    def init_params(self, seed: int = 0, num_probe_bins: int = 16):
+        """TPU-safe model init (complex z built inside jit)."""
+        angles = jnp.linspace(0.0, np.pi, num_probe_bins)
+
+        @jax.jit
+        def _init(key, a):
+            return self.model.init(key, jnp.exp(1j * a).astype(jnp.complex64))
+
+        return _init(jax.random.PRNGKey(seed), angles)
 
     def fit(self, params, num_freq_samples: int, seed: int = 0):
         """Train on random bin batches of the upper unit circle."""
-        angle = np.arange(num_freq_samples) / num_freq_samples * np.pi
-        z_all = np.exp(1j * angle).astype(np.complex64)
+        angles = (np.arange(num_freq_samples) / num_freq_samples * np.pi).astype(
+            np.float32
+        )
         rng = np.random.RandomState(seed)
         n_train = int(num_freq_samples * self.cfg.train_valid_split)
         perm = rng.permutation(num_freq_samples)
@@ -84,7 +103,7 @@ class ColorlessFDNTrainer:
             staircase=True,
         )
         optimizer = optax.adam(schedule)
-        params = self.normalize(params, jnp.asarray(z_all))
+        params = self.normalize(params, angles)
         opt_state = optimizer.init(params)
 
         bs = min(self.cfg.batch_size, len(train_idx))
@@ -95,7 +114,7 @@ class ColorlessFDNTrainer:
             total = 0.0
             nb = 0
             for k in range(len(ep) // bs):
-                z = jnp.asarray(z_all[ep[k * bs : (k + 1) * bs]])
+                z = jnp.asarray(angles[ep[k * bs : (k + 1) * bs]])
                 loss, grads = self._grad(params, z)
                 updates, opt_state = optimizer.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
@@ -105,7 +124,7 @@ class ColorlessFDNTrainer:
 
             vtotal, vb = 0.0, 0
             for k in range(max(1, len(valid_idx) // vbs)):
-                z = jnp.asarray(z_all[valid_idx[k * vbs : (k + 1) * vbs]])
+                z = jnp.asarray(angles[valid_idx[k * vbs : (k + 1) * vbs]])
                 vtotal += float(self._loss_valid(params, z))
                 vb += 1
             self.valid_loss.append(vtotal / max(vb, 1))

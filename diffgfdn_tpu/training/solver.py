@@ -22,6 +22,7 @@ from ..data.batching import (
 from ..data.room_dataset import RIRData, RoomDataset, ThreeRoomDataset
 from ..losses.spatial import make_decay_envelopes
 from ..ops.filterbanks import subband_filter_response
+from ..utils.cio import init_with_batch
 from .build import (
     build_colorless_fdn,
     build_gfdn_model,
@@ -76,8 +77,7 @@ def run_training_colorless_fdn(
             str(colorless_dir / f"group{g}"),
             use_asym_loss=config.trainer_config.use_asym_spectral_loss,
         )
-        z0 = np.exp(1j * np.linspace(0, np.pi, 16)).astype(np.complex64)
-        params = model.init(jax.random.PRNGKey(config.seed + g), z0)
+        params = trainer.init_params(seed=config.seed + g)
         params = trainer.fit(params, num_freq_samples, seed=config.seed + g)
         results.append(
             save_colorless_fdn_parameters(model, params, colorless_dir, g)
@@ -160,7 +160,7 @@ def run_training_var_receiver_pos(
         sample_rate=config.sample_rate,
     )
     example = next(iter(train_batches(0)))
-    params = model.init(jax.random.PRNGKey(config.seed), example)
+    params = init_with_batch(model, jax.random.PRNGKey(config.seed), example)
     params = trainer.fit(params, train_batches, valid_batches, seed=config.seed)
 
     save_diff_gfdn_parameters(model, params, tc.train_dir)
@@ -216,7 +216,7 @@ def run_training_single_pos(
         subband_filter_resp=_subband_resp(config),
         sample_rate=config.sample_rate,
     )
-    params = model.init(jax.random.PRNGKey(config.seed), batch)
+    params = init_with_batch(model, jax.random.PRNGKey(config.seed), batch)
     params = trainer.fit(params, train_batches, seed=config.seed)
     save_diff_gfdn_parameters(model, params, tc.train_dir)
     save_loss(trainer.train_loss, None, tc.train_dir)
@@ -283,7 +283,7 @@ def run_training_anisotropic_decay_var_receiver_pos(
         directional_envelopes=np.asarray(envelopes),
     )
     example = next(iter(train_batches(0)))
-    params = model.init(jax.random.PRNGKey(config.seed), example)
+    params = init_with_batch(model, jax.random.PRNGKey(config.seed), example)
     params = trainer.fit(params, train_batches, valid_batches, seed=config.seed)
     save_diff_gfdn_parameters(model, params, tc.train_dir)
     save_loss(trainer.train_loss, trainer.valid_loss, tc.train_dir)

@@ -37,6 +37,7 @@ from ..ops.basic import ms_to_samps
 from ..ops.stft import erb_filterbank
 from ..ops.unitary import orthogonal_from_skew
 from ..models.gfdn import DiffGFDN
+from ..utils.cio import decode_batch, encode_batch
 from .checkpoints import save_checkpoint
 from .optim import make_optimizer
 
@@ -63,10 +64,15 @@ class GFDNTrainer:
         self.cfg = trainer_config
         self.steps_per_epoch = max(1, steps_per_epoch)
         self.sample_rate = sample_rate or model.sample_rate
+        # stored re/im-stacked: complex closure constants would be transferred
+        # to the device as complex buffers, which this TPU backend rejects
         self.subband_filter_resp = (
             None
             if subband_filter_resp is None
-            else jnp.asarray(subband_filter_resp, jnp.complex64)
+            else np.stack(
+                [np.real(subband_filter_resp), np.imag(subband_filter_resp)],
+                axis=-1,
+            ).astype(np.float32)
         )
         self.directional_envelopes = (
             None
@@ -121,7 +127,9 @@ class GFDNTrainer:
         else:
             h, h_sub = out, None
         if self.subband_filter_resp is not None:
-            h = h * self.subband_filter_resp
+            sf = self.subband_filter_resp
+            # h * (sf_re + 1j sf_im) with only traced complex arithmetic
+            h = h * sf[..., 0] + 1j * (h * sf[..., 1])
         return h, h_sub
 
     def _losses(self, params, batch, key) -> Dict[str, jnp.ndarray]:
@@ -130,9 +138,10 @@ class GFDNTrainer:
         all_losses: Dict[str, jnp.ndarray] = {}
 
         if self.use_directional:
+            # real analysis matrix; promotion to complex happens in-program
             h_dir = jnp.einsum(
                 "jl,blk->bjk",
-                jnp.asarray(self.model.analysis_matrix, jnp.complex64),
+                np.asarray(self.model.analysis_matrix, np.float32),
                 h,
             )
             all_losses["edc_loss"] = self.cfg.edc_loss_weight * directional_edc_loss(
@@ -191,18 +200,21 @@ class GFDNTrainer:
         return all_losses
 
     def _make_step(self, training: bool) -> Callable:
+        # traced fns take complex-free ("encoded") batches — the TPU backend
+        # here can't transfer complex arrays; decode is the first traced op
         def loss_fn(params, batch, key):
             all_losses = self._losses(params, batch, key)
             return sum(all_losses.values()), all_losses
 
         if not training:
-            def valid_step(params, batch, key):
-                total, aux = loss_fn(params, batch, key)
+            def valid_step(params, enc_batch, key):
+                total, aux = loss_fn(params, decode_batch(enc_batch), key)
                 return total, aux
 
             return valid_step
 
-        def train_step(params, opt_state, batch, key):
+        def train_step(params, opt_state, enc_batch, key):
+            batch = decode_batch(enc_batch)
             (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, batch, key
             )
@@ -214,7 +226,7 @@ class GFDNTrainer:
 
     # ---------------------------- normalization ------------------------------
 
-    def _normalize_params(self, params, z):
+    def _normalize_params(self, params, enc_batch):
         """Scale b, c so each sub-FDN has unit average energy.
 
         Divides the per-group slices of input/output gains by
@@ -224,6 +236,7 @@ class GFDNTrainer:
         p = params["params"]
         if "input_gains" not in p or "output_gains" not in p:
             return params
+        z = decode_batch(enc_batch)["z_values"]
         h_sub, _ = self.model.apply(params, z, method=DiffGFDN.sub_fdn_output)
         energy = jnp.mean(jnp.abs(h_sub) ** 2, axis=0)  # (G,)
         scale = jnp.power(energy, 0.25)
@@ -261,13 +274,14 @@ class GFDNTrainer:
             if not normalize_per_step:
                 first = next(iter(train_batches(epoch)), None)
                 if first is not None:
-                    params = self._normalize(params, jnp.asarray(first["z_values"]))
+                    params = self._normalize(params, encode_batch(first))
             for batch in train_batches(epoch):
+                enc = encode_batch(batch)
                 if normalize_per_step:
-                    params = self._normalize(params, jnp.asarray(batch["z_values"]))
+                    params = self._normalize(params, enc)
                 key, sub = jax.random.split(key)
                 params, opt_state, total, aux = self._train_step(
-                    params, opt_state, batch, sub
+                    params, opt_state, enc, sub
                 )
                 ep_loss += float(total)
                 for k, v in aux.items():
@@ -278,7 +292,7 @@ class GFDNTrainer:
             n_valid = 0
             for batch in valid_batches():
                 key, sub = jax.random.split(key)
-                total, aux = self._valid_step(params, batch, sub)
+                total, aux = self._valid_step(params, encode_batch(batch), sub)
                 ev_loss += float(total)
                 for k, v in aux.items():
                     ev_all[k] = ev_all.get(k, 0.0) + float(v)
@@ -318,16 +332,17 @@ class SinglePosGFDNTrainer(GFDNTrainer):
 
     early_stop_tol = 1e-4
 
-    def _normalize_params(self, params, batch):
+    def _normalize_params(self, params, enc_batch):
         """Match the FDN's average energy to the target's.
 
         Scales the per-group io scalars by (E_H / E_target)^(-1/4)
         (reference: trainer.py:647-661) after the sub-FDN normalization.
         """
-        params = super()._normalize_params(params, batch["z_values"])
+        params = super()._normalize_params(params, enc_batch)
         p = params["params"]
         if "input_scalars" not in p or "output_scalars" not in p:
             return params
+        batch = decode_batch(enc_batch)
         h, _ = self._model_outputs(params, batch)
         energy_h = jnp.mean(jnp.abs(h) ** 2)
         energy_t = jnp.mean(jnp.abs(batch["target_rir_response"]) ** 2)
@@ -346,14 +361,14 @@ class SinglePosGFDNTrainer(GFDNTrainer):
         key = jax.random.PRNGKey(seed)
 
         first = next(iter(train_batches(0)))
-        params = self._normalize(params, first)
+        params = self._normalize(params, encode_batch(first))
         save_checkpoint(self.cfg.train_dir, -1, params)
 
         for epoch in range(self.cfg.max_epochs):
             for batch in train_batches(epoch):
                 key, sub = jax.random.split(key)
                 params, opt_state, total, aux = self._train_step(
-                    params, opt_state, batch, sub
+                    params, opt_state, encode_batch(batch), sub
                 )
             self.train_loss.append(float(total))
             self.individual_train_loss.append(
