@@ -34,8 +34,20 @@ def stft(
     n_frames = tp // hop_size - (win_size // hop_size - 1)
     if window is None:
         window = jnp.hanning(win_size).astype(x.dtype)
-    idx = jnp.arange(win_size)[None, :] + hop_size * jnp.arange(n_frames)[:, None]
-    frames = x[..., idx] * window  # (..., n_frames, win)
+    if win_size == 2 * hop_size:
+        # reshape-based framing (no gather — TPU gathers are slow):
+        # consecutive half-window blocks, frame i = blocks[i] ++ blocks[i+1]
+        blocks = x.reshape(x.shape[:-1] + (tp // hop_size, hop_size))
+        frames = jnp.concatenate(
+            [blocks[..., :-1, :], blocks[..., 1:, :]], axis=-1
+        )
+    else:
+        idx = (
+            jnp.arange(win_size)[None, :]
+            + hop_size * jnp.arange(n_frames)[:, None]
+        )
+        frames = x[..., idx]
+    frames = frames * window  # (..., n_frames, win)
     spec = jnp.fft.rfft(frames, n=win_size, axis=-1)
     return jnp.swapaxes(spec, -1, -2)  # (..., F, n_frames)
 
