@@ -1,0 +1,57 @@
+"""CLI: train a DiffGFDN from a YAML config (reference: src/run_model.py).
+
+Dispatch (run_model.py:39-84): ``ir_path`` set -> single-position fit;
+``ambi_order`` set -> directional FDN; otherwise grid-of-receivers training.
+"""
+
+import argparse
+import logging
+import os
+import pickle
+import shutil
+from pathlib import Path
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Train a TPU-native DiffGFDN")
+    parser.add_argument("-c", "--config", required=True, help="YAML config path")
+    parser.add_argument(
+        "--wipe-train-dir", action="store_true",
+        help="delete and recreate the training directory first",
+    )
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+    from ..config import DiffGFDNConfig, load_and_validate_config
+
+    config = load_and_validate_config(args.config, DiffGFDNConfig)
+    np.random.seed(config.seed)
+
+    train_dir = Path(config.trainer_config.train_dir)
+    if args.wipe_train_dir and train_dir.exists():
+        shutil.rmtree(train_dir)
+    train_dir.mkdir(parents=True, exist_ok=True)
+    with open(train_dir / "config_args.pickle", "wb") as f:
+        pickle.dump(config.model_dump(mode="json"), f)
+
+    from ..training.solver import (
+        run_training_anisotropic_decay_var_receiver_pos,
+        run_training_single_pos,
+        run_training_var_receiver_pos,
+    )
+
+    if config.ir_path is not None:
+        run_training_single_pos(config)
+    elif config.ambi_order is not None:
+        from ..data.spatial_dataset import SpatialThreeRoomDataset
+
+        room_data = SpatialThreeRoomDataset(config.room_dataset_path)
+        run_training_anisotropic_decay_var_receiver_pos(config, room_data)
+    else:
+        run_training_var_receiver_pos(config)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,207 @@
+"""CLI: 8-band subband DiffGFDN training + broadband resynthesis.
+
+Reference behaviour: src/run_subband_training_treble.py:35-375 — a per-band
+config factory with per-band MLP hyperparameters, one training per octave
+band, then inference that band-filters each model's RIRs and sums across
+bands.
+
+TPU-native delta: instead of 8 sequential python jobs, all bands can train
+simultaneously in ONE program on a (band x batch) device mesh
+(``--band-parallel``, diffgfdn_tpu.parallel.BandParallelTrainer).
+"""
+
+import argparse
+import logging
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+DEFAULT_FREQS = [63.0, 125.0, 250.0, 500.0, 1000.0, 2000.0, 4000.0, 8000.0]
+
+# per-band MLP hyperparameters (the reference tunes these per band,
+# run_subband_training_treble.py:62-73)
+BAND_MLP_PARAMS: Dict[float, Tuple[int, int]] = {
+    63.0: (3, 64), 125.0: (3, 64), 250.0: (3, 128), 500.0: (3, 128),
+    1000.0: (3, 128), 2000.0: (3, 128), 4000.0: (4, 128), 8000.0: (4, 128),
+}
+
+
+def create_config(
+    freq: float,
+    dataset_path: str,
+    base_train_dir: str = "output/subband",
+    num_freq_bins: int = 2 ** 17,
+    sample_rate: float = 32000.0,
+    max_epochs: int = 20,
+    batch_size: int = 32,
+    use_colorless_loss: bool = True,
+):
+    """Per-band DiffGFDNConfig (reference: create_config, :35-172)."""
+    from ..config import (
+        ColorlessFDNConfig,
+        DiffGFDNConfig,
+        OutputFilterConfig,
+        SubbandProcessingConfig,
+        TrainerConfig,
+    )
+
+    layers, neurons = BAND_MLP_PARAMS.get(freq, (3, 128))
+    return DiffGFDNConfig(
+        seed=int(235 + freq),
+        room_dataset_path=dataset_path,
+        num_groups=3,
+        sample_rate=sample_rate,
+        num_delay_lines=12,
+        trainer_config=TrainerConfig(
+            batch_size=batch_size,
+            num_freq_bins=num_freq_bins,
+            max_epochs=max_epochs,
+            lr=1e-3,
+            io_lr=1e-3,
+            coupling_angle_lr=1e-3,
+            use_colorless_loss=use_colorless_loss,
+            subband_process_config=SubbandProcessingConfig(
+                centre_frequency=freq,
+                frequency_range=(63.0, min(16000.0, sample_rate / 2)),
+                num_fraction_octaves=1,
+            ),
+            train_dir=f"{base_train_dir}/band_{freq:.0f}Hz/",
+            ir_dir=f"{base_train_dir}/band_{freq:.0f}Hz/audio/",
+        ),
+        output_filter_config=OutputFilterConfig(
+            use_svfs=False,
+            num_hidden_layers=layers,
+            num_neurons_per_layer=neurons,
+        ),
+        colorless_fdn_config=ColorlessFDNConfig(use_colorless_prototype=False),
+    )
+
+
+def training(configs, room_data=None):
+    """Sequential per-band training (reference behaviour)."""
+    from ..training.solver import run_training_var_receiver_pos
+
+    for cfg in configs:
+        run_training_var_receiver_pos(cfg, room_data=room_data)
+
+
+def training_band_parallel(configs, room_data=None):
+    """All bands in one (band x batch)-sharded program (TPU-native path)."""
+    import jax
+
+    from ..data.batching import arrays_from_room_dataset, iterate_batches
+    from ..data.room_dataset import ThreeRoomDataset
+    from ..ops.filterbanks import subband_filter_response
+    from ..parallel import BandParallelTrainer
+    from ..training.build import build_gfdn_model
+    from ..training.checkpoints import save_checkpoint
+
+    cfg0 = configs[0]
+    if room_data is None:
+        room_data = ThreeRoomDataset(
+            cfg0.room_dataset_path, nfft=cfg0.trainer_config.num_freq_bins
+        )
+    model = build_gfdn_model(
+        cfg0,
+        common_decay_times=room_data.common_decay_times,
+        band_centre_hz=room_data.band_centre_hz,
+        variant="var_receiver",
+    )
+    band_resps = np.stack(
+        [
+            subband_filter_response(
+                c.trainer_config.subband_process_config.centre_frequency,
+                c.trainer_config.subband_process_config.frequency_range,
+                c.trainer_config.subband_process_config.num_fraction_octaves,
+                c.sample_rate,
+                c.trainer_config.num_freq_bins,
+            )
+            for c in configs
+        ]
+    )
+    arrays = arrays_from_room_dataset(room_data)
+    idx = np.arange(arrays.num_items)
+    bs = cfg0.trainer_config.batch_size
+
+    def train_batches(epoch):
+        return iterate_batches(arrays, idx, bs, shuffle=True, seed=epoch)
+
+    trainer = BandParallelTrainer(
+        model,
+        cfg0.trainer_config,
+        band_resps,
+        steps_per_epoch=max(1, len(idx) // bs),
+        max_ir_len_ms=float(np.max(room_data.common_decay_times)) * 1e3,
+    )
+    example = next(iter(train_batches(0)))
+    params, opt_state = trainer.init(example, seed=cfg0.seed)
+    params, opt_state, history = trainer.fit(
+        params, opt_state, train_batches, max_epochs=cfg0.trainer_config.max_epochs
+    )
+    # save per-band checkpoints in each band's train_dir
+    for b, cfg in enumerate(configs):
+        band_params = jax.tree_util.tree_map(lambda x: np.asarray(x[b]), params)
+        save_checkpoint(
+            cfg.trainer_config.train_dir, cfg.trainer_config.max_epochs - 1,
+            band_params,
+        )
+    return history
+
+
+def inferencing(configs, room_data=None, rec_indices=None):
+    """Per-band RIR synthesis + reconstruction to broadband RIRs."""
+    from ..data.room_dataset import ThreeRoomDataset
+    from ..inference.gfdn_inference import infer_all_octave_bands
+
+    if room_data is None:
+        cfg0 = configs[0]
+        room_data = ThreeRoomDataset(
+            cfg0.room_dataset_path, nfft=cfg0.trainer_config.num_freq_bins
+        )
+    if rec_indices is None:
+        rec_indices = np.arange(room_data.num_rec)
+    return infer_all_octave_bands(configs, room_data, rec_indices)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Per-octave-band DiffGFDN training + resynthesis"
+    )
+    parser.add_argument(
+        "--freqs", type=float, nargs="+", default=DEFAULT_FREQS,
+        help="octave band centre frequencies",
+    )
+    parser.add_argument("--dataset", required=True, help="srirs.pkl path")
+    parser.add_argument("--train-dir", default="output/subband")
+    parser.add_argument("--num-freq-bins", type=int, default=2 ** 17)
+    parser.add_argument("--max-epochs", type=int, default=20)
+    parser.add_argument(
+        "--band-parallel", action="store_true",
+        help="train all bands in one sharded program (TPU-native)",
+    )
+    parser.add_argument("--infer", action="store_true", help="run inference")
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+    configs = [
+        create_config(
+            f, args.dataset, args.train_dir, args.num_freq_bins,
+            max_epochs=args.max_epochs,
+            use_colorless_loss=not args.band_parallel,
+        )
+        for f in args.freqs
+    ]
+    if args.infer:
+        rirs = inferencing(configs)
+        out = Path(args.train_dir) / "broadband_rirs.npy"
+        np.save(out, rirs)
+        print(f"saved broadband RIRs to {out}")
+    elif args.band_parallel:
+        training_band_parallel(configs)
+    else:
+        training(configs)
+
+
+if __name__ == "__main__":
+    main()
