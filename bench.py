@@ -77,14 +77,27 @@ def bench_tpu(steps: int = 10):
     cfg = TrainerConfig(
         batch_size=BATCH, num_freq_bins=NFFT, max_epochs=1, lr=1e-3
     )
+    from diffgfdn_tpu.data.batching import BatchArrays, gather_batch
     from diffgfdn_tpu.utils.cio import encode_batch, init_with_batch
 
     trainer = GFDNTrainer(
         model, cfg, steps_per_epoch=21, common_decay_times=np.asarray(T60S),
         sample_rate=FS,
     )
-    batch = encode_batch(make_batch(f))
-    params = init_with_batch(model, jax.random.PRNGKey(0), make_batch(f))
+    raw = make_batch(f)
+    arrays = BatchArrays(
+        z_values=raw["z_values"],
+        source_position=raw["source_position"],
+        listener_position=raw["listener_position"],
+        norm_listener_position=raw["norm_listener_position"],
+        target_early_response=raw["target_early_response"],
+        target_late_response=raw["target_rir_response"],
+        target_rir_response=raw["target_rir_response"],
+    )
+    log("precomputing target features...")
+    trainer.precompute_target_features(arrays)
+    batch = encode_batch(gather_batch(arrays, np.arange(BATCH)))
+    params = init_with_batch(model, jax.random.PRNGKey(0), raw)
     trainer.optimizer = make_optimizer(cfg, params, 21)
     opt_state = trainer.optimizer.init(params)
     key = jax.random.PRNGKey(1)

@@ -50,7 +50,7 @@ def main(argv=None):
         room_data = SpatialThreeRoomDataset(config.room_dataset_path)
         run_training_anisotropic_decay_var_receiver_pos(config, room_data)
     else:
-        run_training_var_receiver_pos(config)
+        run_training_var_receiver_pos(config, export_irs=True)
 
 
 if __name__ == "__main__":

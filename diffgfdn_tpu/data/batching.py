@@ -30,6 +30,9 @@ class BatchArrays:
     target_rir_response: np.ndarray       # (R, F) complex64
     target_common_slope_amps: Optional[np.ndarray] = None  # (R, ..., slopes)
     mesh_2d: Optional[np.ndarray] = None  # (L, 2)
+    # per-item precomputed loss features (e.g. target EDC/EDR in dB),
+    # gathered alongside the raw targets
+    precomputed: Optional[Dict[str, np.ndarray]] = None
 
     @property
     def num_items(self) -> int:
@@ -97,6 +100,9 @@ def gather_batch(arrays: BatchArrays, idx: np.ndarray) -> Dict[str, np.ndarray]:
         batch["target_common_slope_amps"] = arrays.target_common_slope_amps[idx]
     if arrays.mesh_2d is not None:
         batch["mesh_2d"] = arrays.mesh_2d
+    if arrays.precomputed:
+        for k, v in arrays.precomputed.items():
+            batch[k] = v[idx]
     return batch
 
 

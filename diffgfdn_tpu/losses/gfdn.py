@@ -175,6 +175,56 @@ def edr_loss(
     return jnp.sum(freq_loss) / jnp.sum(jnp.abs(target_edr))
 
 
+def edc_loss_from_rir(
+    target_edc_db: jnp.ndarray,
+    achieved_rir_trunc: jnp.ndarray,
+    mask_key: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """EDC loss against a PRECOMPUTED target EDC (dB).
+
+    The target EDC is position-dependent but parameter-independent, so the
+    trainer computes it once per dataset instead of irfft-ing the target
+    spectrum every step (the reference recomputes both sides each step,
+    losses.py:201-238). ``achieved_rir_trunc`` is the already-truncated
+    time-domain response.
+    """
+    a_edc = schroeder_backward_int(achieved_rir_trunc)
+    err = jnp.abs(target_edc_db - db(a_edc, is_squared=True))
+    if mask_key is not None:
+        probs = jax.random.uniform(jax.random.fold_in(mask_key, 0), (err.shape[-1],))
+        mask = jax.random.bernoulli(jax.random.fold_in(mask_key, 1), probs)
+        return jnp.sum(err * mask) / (
+            jnp.sum(mask) * np.prod(err.shape[:-1]) + 1e-9
+        )
+    return jnp.mean(err)
+
+
+def edr_loss_from_rir(
+    target_edr_db: jnp.ndarray,
+    target_edr_abs_sum: jnp.ndarray,
+    achieved_rir: jnp.ndarray,
+    win_size: int = 2 ** 12,
+    hop_size: int = 2 ** 11,
+    erb_filters: Optional[jnp.ndarray] = None,
+    frequency_weights: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """EDR loss against a PRECOMPUTED target EDR (dB) and its |.| sum.
+
+    ``achieved_rir`` must already have the reduced-pole-radius envelope
+    undone if sampling was off the unit circle.
+    """
+    s_ach = stft(achieved_rir, win_size, hop_size)
+    if erb_filters is not None:
+        s_ach = jnp.einsum("nk,...kt->...nt", erb_filters, jnp.abs(s_ach))
+    ach_edr = edr_from_stft(s_ach)
+    freq_loss = jnp.sum(jnp.abs(target_edr_db - ach_edr), axis=-1)
+    if frequency_weights is not None:
+        freq_loss = freq_loss * frequency_weights
+    if target_edr_db.ndim == 3:
+        return jnp.sum(jnp.sum(freq_loss, axis=-1) / target_edr_abs_sum)
+    return jnp.sum(freq_loss) / target_edr_abs_sum
+
+
 def reg_loss(
     biquad_num: jnp.ndarray,
     biquad_den: jnp.ndarray,

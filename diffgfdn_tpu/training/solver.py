@@ -103,7 +103,9 @@ def _make_batch_fns(arrays, train_idx, valid_idx, batch_size, seed):
 
 
 def run_training_var_receiver_pos(
-    config: DiffGFDNConfig, room_data: Optional[RoomDataset] = None
+    config: DiffGFDNConfig,
+    room_data: Optional[RoomDataset] = None,
+    export_irs: bool = False,
 ) -> Tuple[GFDNTrainer, Dict]:
     """Grid-of-receivers training (the flagship path; solver.py:294-453)."""
     if room_data is None:
@@ -159,12 +161,17 @@ def run_training_var_receiver_pos(
         subband_filter_resp=_subband_resp(config),
         sample_rate=config.sample_rate,
     )
+    trainer.precompute_target_features(arrays)
     example = next(iter(train_batches(0)))
     params = init_with_batch(model, jax.random.PRNGKey(config.seed), example)
     params = trainer.fit(params, train_batches, valid_batches, seed=config.seed)
 
     save_diff_gfdn_parameters(model, params, tc.train_dir)
     save_loss(trainer.train_loss, trainer.valid_loss, tc.train_dir)
+    if export_irs:
+        trainer.save_irs(params, train_batches(0), tc.ir_dir)
+        trainer.save_irs(params, valid_batches(), tc.ir_dir,
+                         filename_prefix="valid_ir")
     return trainer, params
 
 

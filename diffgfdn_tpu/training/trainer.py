@@ -33,6 +33,7 @@ from ..losses import (
     reg_loss,
     sparsity_loss,
 )
+from ..losses.gfdn import edc_loss_from_rir, edr_loss_from_rir
 from ..ops.basic import ms_to_samps
 from ..ops.stft import erb_filterbank
 from ..ops.unitary import orthogonal_from_skew
@@ -152,6 +153,30 @@ class GFDNTrainer:
                 self.max_ir_len_samps,
                 mask_key=mask_key,
             )
+        elif "target_edc_db" in batch:
+            # fast path: precomputed target features + ONE shared irfft of
+            # the achieved response feeding both losses
+            n = 2 * (h.shape[-1] - 1)
+            rir = jnp.fft.irfft(h, n, axis=-1)
+            end = min(self.max_ir_len_samps, h.shape[-1])
+            rir_trunc = rir[..., self.mixing_time_samps : end]
+            all_losses["edc_loss"] = self.cfg.edc_loss_weight * edc_loss_from_rir(
+                batch["target_edc_db"], rir_trunc, mask_key=mask_key
+            )
+            rir_env = rir
+            if self.cfg.reduced_pole_radius != 1.0:
+                rir_env = rir * jnp.power(
+                    1.0 / self.cfg.reduced_pole_radius, jnp.arange(n)
+                )
+            all_losses["edr_loss"] = self.cfg.edr_loss_weight * edr_loss_from_rir(
+                batch["target_edr_db"],
+                batch["target_edr_abs_sum"],
+                rir_env,
+                win_size=self.edr_win,
+                hop_size=self.edr_hop,
+                erb_filters=self.erb_filters,
+                frequency_weights=self.freq_weights,
+            )
         else:
             target = batch["target_rir_response"]
             all_losses["edr_loss"] = self.cfg.edr_loss_weight * edr_loss(
@@ -170,17 +195,20 @@ class GFDNTrainer:
                 self.max_ir_len_samps,
                 mask_key=mask_key,
             )
-            if self.cfg.use_reg_loss and getattr(
-                self.model, "use_svf_in_output", False
-            ):
-                head = self.model.apply(
-                    params, batch, method=type(self.model).output_filter_params
-                )
-                all_losses["reg_loss"] = reg_loss(
-                    head["biquad_num"],
-                    head["biquad_den"],
-                    ms_to_samps(self.cfg.output_filt_ir_len_ms, self.sample_rate),
-                )
+
+        if (
+            not self.use_directional
+            and self.cfg.use_reg_loss
+            and getattr(self.model, "use_svf_in_output", False)
+        ):
+            head = self.model.apply(
+                params, batch, method=type(self.model).output_filter_params
+            )
+            all_losses["reg_loss"] = reg_loss(
+                head["biquad_num"],
+                head["biquad_den"],
+                ms_to_samps(self.cfg.output_filt_ir_len_ms, self.sample_rate),
+            )
 
         if self.model.use_colorless_loss:
             h_out = h_sub[0]  # (F, G)
@@ -325,6 +353,92 @@ class GFDNTrainer:
                 break
         logger.info("training time: %.3fs", time.time() - start)
         return params
+
+
+    # ------------------------- target precomputation -------------------------
+
+    def precompute_target_features(self, arrays, chunk: int = 32) -> None:
+        """Precompute per-position target EDC/EDR features into ``arrays``.
+
+        The target spectra are parameter-independent, so the EDC (dB) after
+        truncation, the target EDR (dB), and its |.|-sum are computed ONCE
+        per dataset here — halving the per-step FFT work versus the
+        reference, which recomputes both sides every step.
+        """
+        if self.use_directional:
+            return
+        from ..ops.basic import db as db_fn
+        from ..ops.basic import schroeder_backward_int
+        from ..ops.stft import edr_from_stft, stft as stft_fn
+
+        mix = self.mixing_time_samps
+
+        @jax.jit
+        def features(tgt_enc):
+            tgt = (tgt_enc[..., 0] + 1j * tgt_enc[..., 1]).astype(jnp.complex64)
+            n = 2 * (tgt.shape[-1] - 1)
+            end = min(self.max_ir_len_samps, tgt.shape[-1])
+            rir = jnp.fft.irfft(tgt, n, axis=-1)
+            edc_db = db_fn(
+                schroeder_backward_int(rir[..., mix:end]), is_squared=True
+            )
+            s = stft_fn(rir, self.edr_win, self.edr_hop)
+            if self.erb_filters is not None:
+                s = jnp.einsum("nk,...kt->...nt", self.erb_filters, jnp.abs(s))
+            edr_db = edr_from_stft(s)
+            abs_sum = jnp.sum(jnp.abs(edr_db), axis=(-2, -1))
+            return edc_db, edr_db, abs_sum
+
+        tgt = arrays.target_rir_response
+        edcs, edrs, sums = [], [], []
+        for k in range(0, tgt.shape[0], chunk):
+            part = tgt[k : k + chunk]
+            enc = np.stack([part.real, part.imag], axis=-1).astype(np.float32)
+            e, r, s = features(enc)
+            edcs.append(np.asarray(e))
+            edrs.append(np.asarray(r))
+            sums.append(np.asarray(s))
+        arrays.precomputed = {
+            "target_edc_db": np.concatenate(edcs, axis=0),
+            "target_edr_db": np.concatenate(edrs, axis=0),
+            "target_edr_abs_sum": np.concatenate(sums, axis=0),
+        }
+
+    # ------------------------------ IR export --------------------------------
+
+    def save_irs(
+        self,
+        params,
+        batches: Iterable[Dict],
+        directory,
+        filename_prefix: str = "ir",
+        norm: bool = True,
+    ) -> None:
+        """Export synthesized RIRs for the given batches as wav files.
+
+        Filenames encode the receiver position, matching the reference's
+        audio dumps (trainer.py:503-564).
+        """
+        import os
+
+        from ..data.audio import write_wav
+        from ..inference.gfdn_inference import make_rir_synthesis_fn
+
+        synth = make_rir_synthesis_fn(self.model, self.cfg.reduced_pole_radius)
+        os.makedirs(directory, exist_ok=True)
+        for batch in batches:
+            rirs = np.asarray(synth(params, encode_batch(batch)))
+            if rirs.ndim == 1:
+                rirs = rirs[None]
+            if norm:
+                rirs = rirs / (np.max(np.abs(rirs)) + 1e-12)
+            pos = np.atleast_2d(batch["listener_position"])
+            for i in range(rirs.shape[0]):
+                name = (
+                    f"{filename_prefix}_({pos[i, 0]:.2f}, {pos[i, 1]:.2f}, "
+                    f"{pos[i, 2]:.2f}).wav"
+                )
+                write_wav(os.path.join(directory, name), rirs[i], self.sample_rate)
 
 
 class SinglePosGFDNTrainer(GFDNTrainer):
