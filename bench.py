@@ -47,7 +47,7 @@ def make_batch(f):
     }
 
 
-def bench_tpu(steps: int = 10):
+def bench_tpu(steps: int = 24):
     import jax
     import jax.numpy as jnp
     import optax
@@ -108,22 +108,31 @@ def bench_tpu(steps: int = 10):
     total.block_until_ready()
     log(f"compile+first step: {time.time() - t0:.1f}s, loss={float(total):.3f}")
 
-    t0 = time.time()
+    # TPU throughput drifts between sessions/minutes; report the median
+    times = []
     for i in range(steps):
+        t0 = time.time()
         params, opt_state, total, _ = trainer._train_step(
             params, opt_state, batch, key
         )
-    total.block_until_ready()
-    dt = (time.time() - t0) / steps
-    log(f"tpu step: {dt * 1e3:.1f} ms -> {1.0 / dt:.2f} steps/s")
+        total.block_until_ready()
+        times.append(time.time() - t0)
+    dt = float(np.median(times))
+    log(
+        f"tpu step: median {dt * 1e3:.1f} ms (min {min(times)*1e3:.1f}, "
+        f"max {max(times)*1e3:.1f}) -> {1.0 / dt:.2f} steps/s"
+    )
     return 1.0 / dt
 
 
-def bench_torch_cpu(steps: int = 2):
+def bench_torch_cpu(steps: int = 3):
     """Equivalent eager PyTorch-CPU train step (the reference's formulation)."""
+    import os
+
     import torch
 
     torch.manual_seed(0)
+    torch.set_num_threads(os.cpu_count())
     f = NFFT // 2 + 1
     n = len(DELAYS)
     nper = n // NUM_GROUPS
@@ -226,11 +235,13 @@ def bench_torch_cpu(steps: int = 2):
     step()
     warm = time.time() - t0
     log(f"torch warmup step: {warm:.1f}s")
-    t0 = time.time()
+    times = []
     for _ in range(steps):
+        t0 = time.time()
         step()
-    dt = (time.time() - t0) / steps
-    log(f"torch cpu step: {dt:.2f} s -> {1.0 / dt:.3f} steps/s")
+        times.append(time.time() - t0)
+    dt = float(np.median(times))
+    log(f"torch cpu step: median {dt:.2f} s -> {1.0 / dt:.3f} steps/s")
     return 1.0 / dt
 
 
