@@ -1,4 +1,5 @@
 from .band_parallel import BandParallelTrainer, make_band_loss_fn
+from .freq_parallel import make_freq_sharded_step
 from .mesh import (
     band_sharding,
     batch_sharding,
@@ -12,6 +13,7 @@ __all__ = [
     "band_sharding",
     "batch_sharding",
     "make_band_loss_fn",
+    "make_freq_sharded_step",
     "make_mesh",
     "replicated",
     "shard_batch_dict",

@@ -124,6 +124,35 @@ def run_training_var_receiver_pos(
                 config, room_data.num_freq_bins // 16
             )
 
+    # optional MLP architecture search (reference: solver.py:361-384 uses
+    # optuna; we random-search with short proxy trainings)
+    tuning = config.output_filter_config.mlp_tuning_config
+    if tuning is not None and tuning.tune_hyperparameters:
+        from .hypertuning import mlp_hyperparameter_tuning
+
+        def _trial(cand: DiffGFDNConfig) -> float:
+            trial_cfg = cand.model_copy(deep=True)
+            trial_cfg.output_filter_config.mlp_tuning_config = None
+            trial_cfg.trainer_config.max_epochs = min(
+                2, config.trainer_config.max_epochs
+            )
+            trial_cfg.trainer_config.train_dir = str(
+                Path(config.trainer_config.train_dir) / "tuning"
+            )
+            trial_trainer, _ = run_training_var_receiver_pos(
+                trial_cfg, room_data=room_data
+            )
+            return (
+                trial_trainer.valid_loss[-1]
+                if trial_trainer.valid_loss
+                else trial_trainer.train_loss[-1]
+            )
+
+        config, _ = mlp_hyperparameter_tuning(
+            config, _trial, num_trials=tuning.num_trials, seed=config.seed
+        )
+        config.output_filter_config.mlp_tuning_config = None
+
     model = build_gfdn_model(
         config,
         common_decay_times=room_data.common_decay_times,
