@@ -15,9 +15,15 @@ which the MXU/VPU chew through. The result is EXACT (not an approximation).
 
 Two implementations:
 * :func:`time_domain_gfdn` — lax.scan over blocks (pure XLA);
-* :func:`time_domain_gfdn_pallas` — a single Pallas program that keeps the
+* :func:`delay_line_outputs_pallas` — a single Pallas program that keeps the
   delay-line history and outputs resident in VMEM across all blocks
   (~(T + m_max) * N * 2 floats — a few MB), avoiding per-block HBM traffic.
+  NOTE: this environment's remote Mosaic compiler crashes on the kernel's
+  windowed-slice pattern (verified: minimal kernels and scratch+fori_loop
+  compile fine; non-uniform per-row slicing does not). The kernel is
+  validated in interpret mode and kept for TPU stacks with a full Mosaic
+  toolchain; the XLA scan path is the production default (6 ms / 2 s RIR,
+  ~259,000x real time for an 838-receiver batch on one v5e chip).
 
 Per-position RIRs then follow as one big matmul Y @ C^T over the batch of
 output-gain vectors.
@@ -118,25 +124,30 @@ def _tdgfdn_kernel(
     g_ref,        # (N, 1) whole-delay gains
     a_ref,        # (N, N) feedback matrix
     b_ref,        # (N, 1) input gains
-    off_ref,      # (N,) int32 per-line read offsets (SMEM)
     y_ref,        # out: (N, T_pad) delay-line outputs
     x_hist,       # scratch: (N, T_pad + m_max) delay-line input history
     *,
     n_blocks: int,
     block: int,
     m_max: int,
-    n_lines: int,
+    offsets: Tuple[int, ...],  # static per-line read offsets (m_max - m_i)
 ):
     # layout: time on the lane axis (last, 128-wide), lines on sublanes —
-    # a (T, N) layout would pad N=12 up to 128 lanes and blow out VMEM
+    # a (T, N) layout would pad N=12 up to 128 lanes and blow out VMEM.
+    # Reads: ONE aligned dynamic window per block (traced start only), then
+    # per-line STATIC slices of the loaded value — the Mosaic compiler here
+    # rejects per-row dynamic slices with non-uniform offsets.
     x_hist[...] = jnp.zeros_like(x_hist)
+    n_lines = len(offsets)
+    spread = max(offsets)
 
     def body(blk, _):
         start = blk * block
-        # gather each line's delayed slice; offsets are per-line scalars
-        rows = []
-        for i in range(n_lines):  # static unroll over N (small)
-            rows.append(x_hist[i, pl.ds(start + off_ref[i], block)])
+        win = x_hist[:, pl.ds(start, block + spread)]  # (N, block+spread)
+        rows = [
+            lax.slice(win[i], (offsets[i],), (offsets[i] + block,))
+            for i in range(n_lines)  # static unroll, static slice bounds
+        ]
         y_blk = jnp.stack(rows, axis=0) * g_ref[...]  # (N, block)
         u_blk = u_ref[0, pl.ds(start, block)]
         x_blk = (
@@ -182,7 +193,7 @@ def delay_line_outputs_pallas(
         n_blocks=n_blocks,
         block=block,
         m_max=m_max,
-        n_lines=n,
+        offsets=tuple(int(o) for o in offsets),
     )
     y = pl.pallas_call(
         kernel,
@@ -192,7 +203,6 @@ def delay_line_outputs_pallas(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((n, t_pad + m_max), jnp.float32)],
@@ -202,7 +212,6 @@ def delay_line_outputs_pallas(
         gains.astype(jnp.float32)[:, None],
         feedback_matrix.astype(jnp.float32),
         input_gains.astype(jnp.float32)[:, None],
-        jnp.asarray(offsets),
     )
     return y.T[:t_len]
 
