@@ -122,7 +122,7 @@ def training_band_parallel(configs, room_data=None):
     )
     arrays = arrays_from_room_dataset(room_data)
     idx = np.arange(arrays.num_items)
-    bs = cfg0.trainer_config.batch_size
+    bs = min(cfg0.trainer_config.batch_size, len(idx))
 
     def train_batches(epoch):
         return iterate_batches(arrays, idx, bs, shuffle=True, seed=epoch)

@@ -26,7 +26,9 @@ def gfdn_param_dict(model, params) -> Dict:
     if model.gains is not None:
         out["gains_per_sample"] = np.asarray(model.gains)
     for name in ("input_gains", "output_gains", "input_scalars", "output_scalars"):
-        if name in p:
+        # only direct array parameters — MLP heads store a submodule dict
+        # under these names, which must not be dumped into the .mat file
+        if name in p and not isinstance(p[name], dict):
             out[name] = np.asarray(p[name]).squeeze()
     if "M" in fl:
         m = jnp.asarray(fl["M"])

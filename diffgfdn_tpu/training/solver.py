@@ -86,6 +86,8 @@ def run_training_colorless_fdn(
 
 
 def _make_batch_fns(arrays, train_idx, valid_idx, batch_size, seed):
+    batch_size = min(batch_size, max(1, len(train_idx)))
+
     def train_batches(epoch):
         return iterate_batches(
             arrays, train_idx, batch_size, shuffle=True, seed=seed + epoch
