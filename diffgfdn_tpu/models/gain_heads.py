@@ -43,6 +43,23 @@ def svf_filter_types(num_biquads: int) -> np.ndarray:
     return types
 
 
+def svf_params_to_biquads(
+    svf_params: jnp.ndarray,
+    cutoffs: np.ndarray,
+    compress_pole_factor: float = 1.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Constrained SVF params -> biquad (num, den) triples (..., K, 3)."""
+    res = scaled_sigmoid(svf_params[..., 0], 1e-6, 1.0)
+    g_db = scaled_sigmoid(svf_params[..., 1], -6.0, 6.0)
+    k = svf_params.shape[-2]
+    ftypes = jnp.asarray(svf_filter_types(k))
+    cut = jnp.asarray(cutoffs, jnp.float32)
+    shape = (1,) * (svf_params.ndim - 2) + (k,)
+    return svf_to_biquad(
+        cut.reshape(shape), res, ftypes.reshape(shape), g_db, compress_pole_factor
+    )
+
+
 def svf_params_to_response(
     svf_params: jnp.ndarray,
     cutoffs: np.ndarray,

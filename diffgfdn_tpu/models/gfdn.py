@@ -398,6 +398,15 @@ class DiffGFDNSinglePos(DiffGFDN):
             (self.num_delay_lines, z.shape[0]),
         )
 
+    def output_filter_params(self, x: Dict) -> Dict:
+        """Output-head biquad coefficients (for the aliasing reg loss)."""
+        from .gain_heads import svf_params_to_biquads
+
+        num, den = svf_params_to_biquads(
+            self.output_svf_params, self._svf_cutoffs, self.compress_pole_factor
+        )
+        return {"biquad_num": num[None], "biquad_den": den[None]}
+
     def __call__(self, x: Dict):
         z = x["z_values"]
         f = z.shape[0]
