@@ -95,3 +95,22 @@ def csolve(m: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     inverse path reuses the fast kernel plus one batched matmul.
     """
     return cinv(m) @ b.astype(m.dtype)
+
+
+def cinv_with(impl) -> "callable":
+    """Wrap an inverse implementation with the analytic VJP above.
+
+    Used to pair the fused Pallas forward (kernels.pallas_cinv) with the
+    two-matmul backward.
+    """
+
+    @jax.custom_vjp
+    def inv(m):
+        return impl(m)
+
+    def fwd(m):
+        p = impl(m)
+        return p, p
+
+    inv.defvjp(fwd, _cinv_bwd)
+    return inv

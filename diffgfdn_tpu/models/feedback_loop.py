@@ -60,6 +60,10 @@ class FeedbackLoop(nn.Module):
     common_decay_times_init: Optional[Tuple[float, ...]] = None
     colorless_feedback_matrix_skew: Optional[np.ndarray] = None
     trainable_feedback: bool = True
+    # opt-in fused Pallas Gauss-Jordan inverse (kernels.pallas_cinv); the
+    # XLA formulation is the default (faster under this env's Mosaic
+    # compiler constraints — see kernels/pallas_cinv.py docstring)
+    use_pallas_inverse: bool = False
 
     @property
     def num_delays(self) -> int:
@@ -214,4 +218,9 @@ class FeedbackLoop(nn.Module):
 
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
         """P(z) = loop_matrix(z)^-1, shape (F, N, N) complex64."""
+        if self.use_pallas_inverse:
+            from ..kernels.linalg import cinv_with
+            from ..kernels.pallas_cinv import cinv_pallas
+
+            return cinv_with(cinv_pallas)(self.loop_matrix(z))
         return cinv(self.loop_matrix(z))
