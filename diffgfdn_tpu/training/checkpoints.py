@@ -25,12 +25,38 @@ def checkpoint_path(train_dir, epoch: int) -> Path:
 
 
 def save_checkpoint(train_dir, epoch: int, params: Any) -> Path:
-    """Save params for the given epoch (epoch -1 = initialization)."""
+    """Save params for the given epoch (epoch -1 = initialization).
+
+    Atomic write (tmp + rename) so an interrupted run never leaves a
+    truncated checkpoint behind.
+    """
     path = checkpoint_path(train_dir, epoch)
     path.parent.mkdir(parents=True, exist_ok=True)
-    with open(path, "wb") as f:
+    tmp = path.with_suffix(".tmp")
+    with open(tmp, "wb") as f:
         pickle.dump(_to_numpy(params), f)
+    os.replace(tmp, path)
     return path
+
+
+def save_checkpoint_orbax(train_dir, epoch: int, params: Any) -> Path:
+    """Orbax-backed checkpoint (directory format, async-capable)."""
+    import orbax.checkpoint as ocp
+
+    path = (Path(train_dir) / "checkpoints" / f"model_e{epoch}").resolve()
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, _to_numpy(params), force=True)
+    return path
+
+
+def load_checkpoint_orbax(train_dir, epoch: int, like: Any) -> Any:
+    """Restore an orbax checkpoint (``like`` gives the target structure)."""
+    import orbax.checkpoint as ocp
+
+    path = (Path(train_dir) / "checkpoints" / f"model_e{epoch}").resolve()
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, like)
 
 
 def load_checkpoint(train_dir, epoch: int) -> Any:

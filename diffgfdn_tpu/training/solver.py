@@ -206,6 +206,22 @@ def run_training_var_receiver_pos(
     return trainer, params
 
 
+def parse_position_from_filename(path) -> Optional[np.ndarray]:
+    """Extract "(x, y, z)" receiver coordinates from an IR filename.
+
+    The reference encodes positions in wav names like ``ir_(1.74, 4.50,
+    1.50).wav`` (solver.py:125-198 parses them back the same way).
+    """
+    import re
+
+    m = re.search(
+        r"\(\s*(-?[\d.]+),\s*(-?[\d.]+),\s*(-?[\d.]+)\s*\)", str(path)
+    )
+    if m is None:
+        return None
+    return np.array([float(g) for g in m.groups()], np.float32)
+
+
 def run_training_single_pos(
     config: DiffGFDNConfig, rir_data: Optional[RIRData] = None
 ) -> Tuple[SinglePosGFDNTrainer, Dict]:
@@ -234,9 +250,13 @@ def run_training_single_pos(
     radius = 1.0 if tc.reduced_pole_radius == 1.0 else 1.0 / tc.reduced_pole_radius
     z = (radius * np.exp(1j * rir_data.freq_bins_rad)).astype(np.complex64)
     early, late = rir_data.split_responses()
+    pos = None
+    if config.ir_path is not None:
+        pos = parse_position_from_filename(config.ir_path)
+    pos = np.zeros(3, np.float32) if pos is None else pos
     batch = {
         "z_values": z,
-        "listener_position": np.zeros((1, 3), np.float32),
+        "listener_position": pos[None, :],
         "norm_listener_position": np.zeros((1, 3), np.float32),
         "target_early_response": early.astype(np.complex64),
         "target_late_response": late.astype(np.complex64),
