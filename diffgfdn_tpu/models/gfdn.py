@@ -171,6 +171,30 @@ class DiffGFDN(nn.Module):
             h = h + direct
         return h
 
+    def transfer_function_scalar_heads(
+        self,
+        z: jnp.ndarray,
+        c_scalars: jnp.ndarray,
+        b_scalars: jnp.ndarray,
+        direct: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Fast path for frequency-INDEPENDENT heads.
+
+        H[b, f] = c~[b, :] . (P(f) b~) where c~ = per-line output scalars,
+        b~ = per-line input scalars — one single-RHS contraction q = P b~
+        (F, N) followed by one (B, N) x (N, F) matmul. Avoids materializing
+        the (batch, N, F) complex broadcasts of the general path
+        (~200 MB of HBM traffic per step at flagship scale).
+
+        ``c_scalars``: (batch, N) real/complex; ``b_scalars``: (N,).
+        """
+        p = self.feedback_loop(z)  # (F, N, N)
+        q = jnp.einsum("fnm,m->nf", p, b_scalars.astype(jnp.complex64))
+        h = c_scalars.astype(jnp.complex64) @ q  # (B, F)
+        if direct is not None:
+            h = h + direct
+        return h
+
 
 class DiffGFDNVarReceiverPos(DiffGFDN):
     """Output gains/filters conditioned on listener position.
@@ -213,28 +237,29 @@ class DiffGFDNVarReceiverPos(DiffGFDN):
         nper = self.num_delay_lines_per_group
         f = z.shape[0]
 
-        c_init = self.output_gains.astype(jnp.complex64)  # (N, 1)
-        b_init = self.input_gains.astype(jnp.complex64)
-
+        direct = x.get("target_early_response")
         if self.use_svf_in_output:
+            c_init = self.output_gains.astype(jnp.complex64)  # (N, 1)
+            b_init = self.input_gains.astype(jnp.complex64)
             group_resp = self.output_filters(x)  # (B, G, F) complex
             c_mod = expand_groups_to_delay_lines(group_resp, nper)  # (B, N, F)
+            c = c_mod * c_init[None, :, :]
+            b = jnp.broadcast_to(
+                b_init[None, :, :], (batch, self.num_delay_lines, f)
+            )
+            h = self.transfer_function(z, c, b, direct)
         else:
+            # scalar heads: frequency-independent gains -> fast path
             if output_scalars is None:
                 g = self.output_scalars(x)  # (B, G)
             else:
                 g = output_scalars  # externally provided CS amplitudes
-            c_mod = expand_groups_to_delay_lines(g, nper).astype(jnp.complex64)[
-                ..., None
-            ]  # (B, N, 1)
-        c = c_mod * c_init[None, :, :]
-        if c.shape[-1] == 1:
-            c = jnp.broadcast_to(c, (batch, self.num_delay_lines, f))
-        b = jnp.broadcast_to(
-            b_init[None, :, :], (batch, self.num_delay_lines, f)
-        )
-
-        h = self.transfer_function(z, c, b, x.get("target_early_response"))
+            c_scalars = (
+                expand_groups_to_delay_lines(g, nper) * self.output_gains[:, 0]
+            )
+            h = self.transfer_function_scalar_heads(
+                z, c_scalars, self.input_gains[:, 0], direct
+            )
         if self.use_colorless_loss:
             return h, self.sub_fdn_output(z)
         return h
@@ -317,27 +342,43 @@ class DiffGFDNVarSourceReceiverPos(DiffGFDN):
         nper = self.num_delay_lines_per_group
         f = z.shape[0]
         n = self.num_delay_lines
+        direct = x.get("target_early_response")
 
-        c_init = self.output_gains.astype(jnp.complex64)
-        b_init = self.input_gains.astype(jnp.complex64)
-
-        if self.use_svf_in_output:
-            c_mod = expand_groups_to_delay_lines(self.output_filters(x), nper)
+        if not self.use_svf_in_output and not self.use_svf_in_input:
+            # both heads frequency-independent: H[b] = vec(c~ b~^T) . vec(P)
+            # — one (B, N^2) x (N^2, F) matmul, no (B, N, F) broadcasts
+            c_s = (
+                expand_groups_to_delay_lines(self.output_scalars(x), nper)
+                * self.output_gains[:, 0]
+            )
+            b_s = (
+                expand_groups_to_delay_lines(self.input_scalars(x), nper)
+                * self.input_gains[:, 0]
+            )
+            p = self.feedback_loop(z)  # (F, N, N)
+            w = jnp.einsum("bn,bm->bnm", c_s, b_s).reshape(batch, n * n)
+            h = w.astype(jnp.complex64) @ p.reshape(f, n * n).T
+            if direct is not None:
+                h = h + direct
         else:
-            c_mod = expand_groups_to_delay_lines(
-                self.output_scalars(x), nper
-            ).astype(jnp.complex64)[..., None]
-        if self.use_svf_in_input:
-            b_mod = expand_groups_to_delay_lines(self.input_filters(x), nper)
-        else:
-            b_mod = expand_groups_to_delay_lines(
-                self.input_scalars(x), nper
-            ).astype(jnp.complex64)[..., None]
+            c_init = self.output_gains.astype(jnp.complex64)
+            b_init = self.input_gains.astype(jnp.complex64)
+            if self.use_svf_in_output:
+                c_mod = expand_groups_to_delay_lines(self.output_filters(x), nper)
+            else:
+                c_mod = expand_groups_to_delay_lines(
+                    self.output_scalars(x), nper
+                ).astype(jnp.complex64)[..., None]
+            if self.use_svf_in_input:
+                b_mod = expand_groups_to_delay_lines(self.input_filters(x), nper)
+            else:
+                b_mod = expand_groups_to_delay_lines(
+                    self.input_scalars(x), nper
+                ).astype(jnp.complex64)[..., None]
+            c = jnp.broadcast_to(c_mod * c_init[None], (batch, n, f))
+            b = jnp.broadcast_to(b_mod * b_init[None], (batch, n, f))
+            h = self.transfer_function(z, c, b, direct)
 
-        c = jnp.broadcast_to(c_mod * c_init[None], (batch, n, f))
-        b = jnp.broadcast_to(b_mod * b_init[None], (batch, n, f))
-
-        h = self.transfer_function(z, c, b, x.get("target_early_response"))
         if self.use_colorless_loss:
             return h, self.sub_fdn_output(z)
         return h
@@ -467,19 +508,19 @@ class DiffDirectionalFDNVarReceiverPos(DiffGFDN):
         f = z.shape[0]
         n = self.num_delay_lines
 
-        # (B, G, n_ambi) normalized SH gains
+        # (B, G, n_ambi) normalized SH gains — frequency-independent, so the
+        # shared input drive q = P b is computed once and the per-position
+        # mix is a single contraction (no (B, N, F) broadcasts)
         sh_gains = self.sh_output_scalars(x, normalise=True)
-        c_init = self.output_gains.reshape(g, nper).astype(jnp.complex64)
-        c = sh_gains.astype(jnp.complex64)[..., None] * c_init[None, :, :, None]
-
-        b = jnp.broadcast_to(
-            self.input_gains.astype(jnp.complex64)[None], (batch, n, f)
-        )
+        weights = sh_gains * self.output_gains.reshape(g, nper)[None]
 
         p = self.feedback_loop(z)  # (F, N, N)
-        # P @ B -> (B, N, F), grouped into (B, G, Nper, F)
-        pb = jnp.einsum("fnm,bnf->bmf", p, b).reshape(batch, g, nper, f)
-        h = jnp.sum(c * pb, axis=1)  # (B, n_ambi, F)
+        # contraction over the FIRST matrix index (the reference reads the
+        # directional taps as P^T b, model.py:1083)
+        q = jnp.einsum(
+            "fnm,n->mf", p, self.input_gains[:, 0].astype(jnp.complex64)
+        ).reshape(g, nper, f)
+        h = jnp.einsum("bga,gaf->baf", weights.astype(jnp.complex64), q)
         if self.use_colorless_loss:
             return h, self.sub_fdn_output(z)
         return h
