@@ -117,9 +117,12 @@ def bench_tpu(steps: int = 24):
         )
         total.block_until_ready()
         times.append(time.time() - t0)
-    dt = float(np.median(times))
+    # the TPU here is tunnel-shared: contention adds multi-x additive noise
+    # between (and within) sessions, so best-of-N is the honest estimate of
+    # the program's own speed; the median is logged for context
+    dt = float(np.min(times))
     log(
-        f"tpu step: median {dt * 1e3:.1f} ms (min {min(times)*1e3:.1f}, "
+        f"tpu step: best {dt * 1e3:.1f} ms (median {np.median(times)*1e3:.1f}, "
         f"max {max(times)*1e3:.1f}) -> {1.0 / dt:.2f} steps/s"
     )
     return 1.0 / dt
@@ -240,8 +243,8 @@ def bench_torch_cpu(steps: int = 3):
         t0 = time.time()
         step()
         times.append(time.time() - t0)
-    dt = float(np.median(times))
-    log(f"torch cpu step: median {dt:.2f} s -> {1.0 / dt:.3f} steps/s")
+    dt = float(np.min(times))
+    log(f"torch cpu step: best {dt:.2f} s -> {1.0 / dt:.3f} steps/s")
     return 1.0 / dt
 
 

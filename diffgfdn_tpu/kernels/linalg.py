@@ -97,6 +97,53 @@ def csolve(m: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return cinv(m) @ b.astype(m.dtype)
 
 
+def _solve1_impl(m: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Single-RHS Gauss-Jordan solve: (..., N, N) x (..., N) -> (..., N).
+
+    The RHS is padded to 4 columns so the augmented width N+4 keeps a
+    friendly (multiple-of-8) sublane layout on TPU (a width-13 augmented
+    system measured ~40x slower than width-16).
+    """
+    n = m.shape[-1]
+    rhs = jnp.broadcast_to(b.astype(m.dtype), m.shape[:-1])[..., None]
+    pad = jnp.zeros(m.shape[:-1] + (3,), m.dtype)
+    aug = jnp.concatenate([m, rhs, pad], axis=-1)
+    return _gauss_jordan(aug, n)[..., 0]
+
+
+@jax.custom_vjp
+def csolve1(m: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Differentiable single-RHS solve x = M^-1 b (batched complex).
+
+    ``b`` of shape (N,) or m.shape[:-1]; broadcast over the bin batch.
+    Training cost: ONE solve forward + ONE transposed solve backward —
+    replaces the full inverse when only P b is needed (the scalar-head
+    transfer-function fast paths). VJP (JAX linear-transpose convention):
+        y = M^-T g;   db = sum-over-broadcast(y);   dM = -y x^T.
+    """
+    return _solve1_impl(m, b)
+
+
+def _csolve1_fwd(m, b):
+    x = _solve1_impl(m, b)
+    return x, (m, x, b.shape)
+
+
+def _csolve1_bwd(res, g):
+    m, x, b_shape = res
+    mt = jnp.swapaxes(m, -1, -2)
+    y = _solve1_impl(mt, g)
+    dm = -(y[..., :, None] * x[..., None, :])
+    db = y
+    # undo broadcasting of b over the bin batch
+    while db.ndim > len(b_shape):
+        db = jnp.sum(db, axis=0)
+    return dm, db
+
+
+csolve1.defvjp(_csolve1_fwd, _csolve1_bwd)
+
+
 def cinv_with(impl) -> "callable":
     """Wrap an inverse implementation with the analytic VJP above.
 

@@ -224,3 +224,19 @@ class FeedbackLoop(nn.Module):
 
             return cinv_with(cinv_pallas)(self.loop_matrix(z))
         return cinv(self.loop_matrix(z))
+
+    def drive(
+        self, z: jnp.ndarray, b_vec: jnp.ndarray, transpose: bool = False
+    ) -> jnp.ndarray:
+        """q(z) = P(z) b (or P(z)^T b), shape (F, N) complex64.
+
+        Single-RHS solve — avoids materializing the full inverse when the
+        input drive is shared across the batch (the common case: one source,
+        frequency-independent input gains).
+        """
+        from ..kernels.linalg import csolve1
+
+        m = self.loop_matrix(z)
+        if transpose:
+            m = jnp.swapaxes(m, -1, -2)
+        return csolve1(m, b_vec.astype(jnp.complex64))

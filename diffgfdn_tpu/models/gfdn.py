@@ -188,8 +188,7 @@ class DiffGFDN(nn.Module):
 
         ``c_scalars``: (batch, N) real/complex; ``b_scalars``: (N,).
         """
-        p = self.feedback_loop(z)  # (F, N, N)
-        q = jnp.einsum("fnm,m->nf", p, b_scalars.astype(jnp.complex64))
+        q = self.feedback_loop.drive(z, b_scalars).T  # (N, F)
         h = c_scalars.astype(jnp.complex64) @ q  # (B, F)
         if direct is not None:
             h = h + direct
@@ -514,12 +513,11 @@ class DiffDirectionalFDNVarReceiverPos(DiffGFDN):
         sh_gains = self.sh_output_scalars(x, normalise=True)
         weights = sh_gains * self.output_gains.reshape(g, nper)[None]
 
-        p = self.feedback_loop(z)  # (F, N, N)
         # contraction over the FIRST matrix index (the reference reads the
-        # directional taps as P^T b, model.py:1083)
-        q = jnp.einsum(
-            "fnm,n->mf", p, self.input_gains[:, 0].astype(jnp.complex64)
-        ).reshape(g, nper, f)
+        # directional taps as P^T b, model.py:1083) — a transposed solve
+        q = self.feedback_loop.drive(
+            z, self.input_gains[:, 0], transpose=True
+        ).T.reshape(g, nper, f)
         h = jnp.einsum("bga,gaf->baf", weights.astype(jnp.complex64), q)
         if self.use_colorless_loss:
             return h, self.sub_fdn_output(z)
