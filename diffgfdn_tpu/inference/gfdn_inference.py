@@ -70,6 +70,7 @@ class InferDiffGFDN:
             common_decay_times=room_data.common_decay_times,
             band_centre_hz=room_data.band_centre_hz,
             variant=variant,
+            inference_solve=True,
         )
         if params is None:
             params = load_latest_checkpoint(

@@ -226,17 +226,28 @@ class FeedbackLoop(nn.Module):
         return cinv(self.loop_matrix(z))
 
     def drive(
-        self, z: jnp.ndarray, b_vec: jnp.ndarray, transpose: bool = False
+        self,
+        z: jnp.ndarray,
+        b_vec: jnp.ndarray,
+        transpose: bool = False,
+        use_solve: bool = False,
     ) -> jnp.ndarray:
         """q(z) = P(z) b (or P(z)^T b), shape (F, N) complex64.
 
-        Single-RHS solve — avoids materializing the full inverse when the
-        input drive is shared across the batch (the common case: one source,
-        frequency-independent input gains).
+        ``use_solve=True`` runs a single-RHS Gauss-Jordan solve — ~1.6x
+        faster than the full inverse for FORWARD-ONLY use (inference/
+        synthesis). For training the default inverse path wins: its VJP is
+        two batched matmuls on the saved P, whereas the solve's VJP must
+        run a second (transposed) elimination (measured ~1.7x slower
+        end-to-end with gradients).
         """
-        from ..kernels.linalg import csolve1
+        if use_solve:
+            from ..kernels.linalg import csolve1
 
-        m = self.loop_matrix(z)
-        if transpose:
-            m = jnp.swapaxes(m, -1, -2)
-        return csolve1(m, b_vec.astype(jnp.complex64))
+            m = self.loop_matrix(z)
+            if transpose:
+                m = jnp.swapaxes(m, -1, -2)
+            return csolve1(m, b_vec.astype(jnp.complex64))
+        p = self(z)
+        eq = "fnm,n->fm" if transpose else "fnm,m->fn"
+        return jnp.einsum(eq, p, b_vec.astype(jnp.complex64))

@@ -160,6 +160,7 @@ def build_gfdn_model(
     colorless_params: Optional[List[ColorlessFDNResults]] = None,
     desired_directions: Optional[np.ndarray] = None,
     variant: str = "var_receiver",
+    inference_solve: bool = False,
 ):
     """Instantiate the configured DiffGFDN variant (not yet initialized)."""
     kw = absorption_arrays(config, common_decay_times, band_centre_hz)
@@ -180,6 +181,7 @@ def build_gfdn_model(
         fixed_input_gains=fixed_b,
         fixed_output_gains=fixed_c,
         use_colorless_loss=config.trainer_config.use_colorless_loss,
+        inference_solve=inference_solve,
         **kw,
     )
     head = dict(
