@@ -25,8 +25,9 @@ def _gauss_jordan(aug: jnp.ndarray, n: int) -> jnp.ndarray:
     """Row-reduce augmented batch (..., N, N+R) to (..., N, R) solution.
 
     Partial pivoting per elimination step: the pivot row is chosen by
-    max |column| among the not-yet-eliminated rows; the swap is expressed
-    with `where` masks so the whole batch proceeds in lockstep.
+    max |column| among the not-yet-eliminated rows. Row selection and swap
+    are masked reductions/selects — TPU gathers (take_along_axis) measured
+    noticeably slower than a masked sum over the tiny row axis.
     """
     row_idx = jnp.arange(n)
     for k in range(n):
@@ -35,13 +36,11 @@ def _gauss_jordan(aug: jnp.ndarray, n: int) -> jnp.ndarray:
         col = jnp.where(row_idx < k, -1.0, col)
         p = jnp.argmax(col, axis=-1)  # (...,)
 
-        # swap rows k and p (no-op when p == k)
-        p_exp = p[..., None, None]
-        row_p = jnp.take_along_axis(aug, jnp.broadcast_to(
-            p_exp, aug.shape[:-2] + (1, aug.shape[-1])), axis=-2)
-        row_k = aug[..., k : k + 1, :]
         is_k = (row_idx == k)[:, None]
         is_p = (row_idx[None, :] == p[..., None])[..., :, None]
+        # row p via masked reduction over the (tiny) row axis — no gather
+        row_p = jnp.sum(jnp.where(is_p, aug, 0.0), axis=-2, keepdims=True)
+        row_k = aug[..., k : k + 1, :]
         aug = jnp.where(is_k, row_p, aug)
         aug = jnp.where(is_p & ~is_k, row_k, aug)
 
