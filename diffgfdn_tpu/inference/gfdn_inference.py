@@ -143,21 +143,22 @@ def merge_subband_rirs(
     """Filter each band's synthesized RIRs with its reconstructing filter
     and sum across bands -> broadband RIRs.
 
-    ``band_rirs``: list of (num_pos, T) arrays, one per band;
-    ``band_filters``: (num_bands, filt_len). Group delay of the linear-phase
-    filterbank is compensated (reference:
+    ``band_rirs``: list of (..., T) arrays, one per band (any leading dims —
+    positions, ambisonic channels); ``band_filters``: (num_bands, filt_len).
+    Group delay of the linear-phase filterbank is compensated (reference:
     run_subband_training_treble.py:308-373).
     """
     num_bands = len(band_rirs)
-    num_pos, t_len = band_rirs[0].shape
+    t_len = band_rirs[0].shape[-1]
     filt_len = band_filters.shape[-1]
     delay = filt_len // 2
-    out = np.zeros((num_pos, t_len))
+    out = np.zeros(band_rirs[0].shape)
+    shape = (1,) * (band_rirs[0].ndim - 1) + (filt_len,)
     for b in range(num_bands):
         filtered = fftconvolve(
-            band_rirs[b], band_filters[b][None, :], mode="full", axes=-1
+            band_rirs[b], band_filters[b].reshape(shape), mode="full", axes=-1
         )
-        out += filtered[:, delay : delay + t_len]
+        out += filtered[..., delay : delay + t_len]
     return out
 
 
@@ -192,3 +193,50 @@ def infer_all_octave_bands(
         infer = InferDiffGFDN(cfg, room_data, variant=variant)
         band_rirs.append(infer.rirs_at(rec_indices))
     return merge_subband_rirs(band_rirs, filters)
+
+
+def infer_all_octave_bands_directional(
+    configs: List[DiffGFDNConfig],
+    room_data,
+    rec_indices: np.ndarray,
+    convert_to_ambisonics: bool = False,
+    fir_len: int = 2 ** 12,
+) -> np.ndarray:
+    """Directional all-band inference -> broadband ambisonic/SH SRIRs.
+
+    One directional-FDN config per octave band; per-band SH responses are
+    band-filtered with the reconstructing filterbank and summed across
+    bands. ``convert_to_ambisonics``: if the models output directional
+    responses, project back to the SH domain via the synthesis filterbank
+    (reference: inference.py:290-881, infer_all_octave_bands_directional_fdn).
+    Returns (num_pos, num_channels, T).
+    """
+    centre_freqs = [
+        c.trainer_config.subband_process_config.centre_frequency for c in configs
+    ]
+    frange = configs[0].trainer_config.subband_process_config.frequency_range
+    filters, centers = reconstructing_fractional_octave_bands(
+        num_fractions=1,
+        frequency_range=frange,
+        n_samples=fir_len,
+        sampling_rate=room_data.sample_rate,
+    )
+    band_idx = [int(np.argmin(np.abs(centers - fc))) for fc in centre_freqs]
+    filters = filters[band_idx]
+
+    band_rirs = []
+    for cfg in configs:
+        infer = InferDiffGFDN(cfg, room_data, variant="directional")
+        band_rirs.append(infer.rirs_at(rec_indices))  # (P, n_ambi, T)
+    srirs = merge_subband_rirs(band_rirs, filters)
+
+    if convert_to_ambisonics and room_data.sph_directions is not None:
+        from .cs_synthesis import convert_directional_rirs_to_ambisonics
+
+        srirs = convert_directional_rirs_to_ambisonics(
+            room_data.ambi_order,
+            room_data.sph_directions,
+            configs[0].output_filter_config.beamformer_type,
+            srirs.transpose(1, 0, 2),
+        )
+    return srirs

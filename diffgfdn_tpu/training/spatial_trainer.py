@@ -141,6 +141,13 @@ class SpatialSamplingTrainer:
     def _losses(self, params, batch) -> Dict[str, jnp.ndarray]:
         amps, weights = self._predict(params, batch)
         target = batch["target_common_slope_amps"]
+        if "floor_mask" in batch:
+            # CNN path: only grid cells inside the floor plan contribute
+            # (reference: spatial_sampling/trainer.py CNN branch + binary mask)
+            mask = batch["floor_mask"].reshape(
+                (-1,) + (1,) * (amps.ndim - 1)
+            )
+            amps = amps * mask + (1.0 - mask) * target
         out: Dict[str, jnp.ndarray] = {}
         if self.envelopes is not None:
             out["edc_loss"] = spatial_edc_loss(amps, target, self.envelopes)
@@ -153,9 +160,6 @@ class SpatialSamplingTrainer:
             out["smoothness_loss"] = 1e-4 * spatial_smoothness_loss(
                 self.kernel_weights, pos_idx, weights
             )
-        if self.is_cnn and "floor_mask" in batch:
-            # zero-out contributions outside the floor plan
-            pass
         return out
 
     def _build_steps(self):
@@ -233,6 +237,56 @@ class SpatialSamplingTrainer:
         return np.asarray(amps)
 
 
+def make_cnn_batch(
+    room_data: SpatialRoomDataset, indices: Optional[np.ndarray] = None
+) -> Dict[str, np.ndarray]:
+    """One full-grid CNN training batch: normalized mesh + masked labels.
+
+    The CNN consumes the 2-D floor-plan grid directly; targets are
+    nearest-interpolated onto the grid and zeroed outside the floor plan
+    (reference: spatial_sampling/dataloader.py:330-444).
+    """
+    if indices is None:
+        indices = np.arange(room_data.num_rec)
+    mesh, norm_mesh, labels = create_2d_grid_data(room_data, indices)
+    mask = room_data.get_binary_mask(mesh).ravel().astype(np.float32)
+    return {
+        "mesh_2d": norm_mesh.astype(np.float32),
+        "mesh_2d_raw": mesh.astype(np.float32),
+        "target_common_slope_amps": labels,
+        "floor_mask": mask,
+    }
+
+
+def run_training_spatial_sampling_cnn(
+    config: SpatialSamplingConfig,
+    room_data: SpatialRoomDataset,
+    grid_resolutions: Optional[List[float]] = None,
+    use_edc_loss: bool = True,
+):
+    """CNN variant of the resolution sweep: full-grid image batches."""
+    if grid_resolutions is None:
+        n = config.num_grid_spacing or 1
+        grid_resolutions = [room_data.grid_spacing_m * k for k in range(n, 0, -1)]
+    model = build_spatial_model(config, room_data.num_rooms, room_data.ambi_order)
+    results = {}
+    for res in grid_resolutions:
+        train_idx, _ = split_by_grid_resolution(room_data, res)
+        batch = make_cnn_batch(room_data, train_idx)
+
+        def train_batches(epoch, _b=batch):
+            yield _b
+
+        trainer = SpatialSamplingTrainer(
+            model, config, room_data, use_edc_loss=use_edc_loss,
+            grid_resolution_m=res,
+        )
+        params = model.init(jax.random.PRNGKey(config.seed), batch)
+        params = trainer.fit(params, train_batches)
+        results[res] = (trainer, params)
+    return results
+
+
 def run_training_spatial_sampling(
     config: SpatialSamplingConfig,
     room_data: Optional[SpatialRoomDataset] = None,
@@ -248,6 +302,11 @@ def run_training_spatial_sampling(
         from ..data.spatial_dataset import SpatialThreeRoomDataset
 
         room_data = SpatialThreeRoomDataset(config.room_dataset_path)
+
+    if config.network_type == DNNType.CNN:
+        return run_training_spatial_sampling_cnn(
+            config, room_data, grid_resolutions, use_edc_loss
+        )
 
     if grid_resolutions is None:
         n = config.num_grid_spacing or 3

@@ -91,3 +91,32 @@ def test_omni_mlp_training(tmp_path, spatial_room):
     trainer, params = results[1.2]
     assert np.isfinite(trainer.train_loss).all()
     assert trainer.train_loss[-1] < trainer.train_loss[0]
+
+
+def test_cnn_training_path(tmp_path, spatial_room):
+    from diffgfdn_tpu.config.schema import CNNConfig, DNNConfig
+
+    cfg = SpatialSamplingConfig(
+        batch_size=16,
+        seed=0,
+        max_epochs=4,
+        lr=5e-3,
+        train_dir=str(tmp_path / "cnn"),
+        use_directional_rirs=True,
+        dnn_config=DNNConfig(
+            cnn_config=CNNConfig(num_hidden_channels=8, num_layers=3,
+                                 kernel_size=(3, 3)),
+            num_fourier_features=4,
+        ),
+    )
+    assert cfg.network_type.value == "cnn"
+    from diffgfdn_tpu.training.spatial_trainer import (
+        run_training_spatial_sampling,
+    )
+
+    results = run_training_spatial_sampling(
+        cfg, room_data=spatial_room, grid_resolutions=[0.6]
+    )
+    trainer, params = results[0.6]
+    assert np.isfinite(trainer.train_loss).all()
+    assert trainer.train_loss[-1] < trainer.train_loss[0]
