@@ -191,6 +191,41 @@ class FeedbackLoop(nn.Module):
 
     # -------------------------------- forward -------------------------------
 
+    @property
+    def is_block_diagonal(self) -> bool:
+        """Zero inter-group coupling makes the loop matrix block-diagonal.
+
+        The coupled feedback matrix A = block_M ∘ (I ⊗ 1) then has only the
+        per-group diagonal blocks ortho(M_g) @ ortho(M_g) — inverting G
+        independent Nper x Nper systems is ~(G^2 x fewer steps) cheaper
+        than one N x N elimination.
+        """
+        return (
+            self.coupling_matrix_type == CouplingMatrixType.SCALAR
+            and self.use_zero_coupling
+        )
+
+    def loop_matrix_blocks(self, z: jnp.ndarray) -> jnp.ndarray:
+        """Per-group loop matrices (G, F, Nper, Nper) for the zero-coupling case."""
+        assert self.is_block_diagonal
+        g = self.num_groups
+        nper = self.num_delay_lines_per_group
+        delays = jnp.asarray(self.delays, jnp.float32).reshape(g, nper)
+        d_diag = z[None, :, None] ** delays[:, None, :]  # (G, F, Nper)
+        if self.use_absorption_filters:
+            gamma_inv = (1.0 / self.gamma_response(z)).reshape(g, nper, -1)
+            ddecay = d_diag * jnp.transpose(gamma_inv, (0, 2, 1))
+        else:
+            gamma_inv = (1.0 / self.gamma_scalar()).reshape(g, nper)
+            ddecay = d_diag * gamma_inv[:, None, :]
+        o = orthogonal_from_skew(self.M)  # (G, Nper, Nper)
+        a_blocks = jnp.einsum("gab,gbc->gac", o, o).astype(jnp.complex64)
+        eye = jnp.eye(nper, dtype=jnp.complex64)
+        return (
+            ddecay[..., None].astype(jnp.complex64) * eye[None, None]
+            - a_blocks[:, None]
+        )
+
     def loop_matrix(self, z: jnp.ndarray) -> jnp.ndarray:
         """M(z) = D(z) Gamma(z)^-1 - A(z), shape (F, N, N) complex64."""
         delays = jnp.asarray(self.delays, jnp.float32)
@@ -218,6 +253,17 @@ class FeedbackLoop(nn.Module):
 
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
         """P(z) = loop_matrix(z)^-1, shape (F, N, N) complex64."""
+        if self.is_block_diagonal:
+            # invert the G independent Nper x Nper blocks, then assemble
+            g = self.num_groups
+            nper = self.num_delay_lines_per_group
+            p_blocks = cinv(self.loop_matrix_blocks(z))  # (G, F, nper, nper)
+            f = z.shape[0]
+            p = jnp.zeros((f, self.num_delays, self.num_delays), jnp.complex64)
+            for k in range(g):
+                s = k * nper
+                p = p.at[:, s : s + nper, s : s + nper].set(p_blocks[k])
+            return p
         if self.use_pallas_inverse:
             from ..kernels.linalg import cinv_with
             from ..kernels.pallas_cinv import cinv_pallas
@@ -241,13 +287,31 @@ class FeedbackLoop(nn.Module):
         run a second (transposed) elimination (measured ~1.7x slower
         end-to-end with gradients).
         """
+        b_c = b_vec.astype(jnp.complex64)
+        if self.is_block_diagonal:
+            g = self.num_groups
+            nper = self.num_delay_lines_per_group
+            f = z.shape[0]
+            b_g = b_c.reshape(g, nper)
+            if use_solve:
+                from ..kernels.linalg import csolve1
+
+                m = self.loop_matrix_blocks(z)
+                if transpose:
+                    m = jnp.swapaxes(m, -1, -2)
+                q = csolve1(m, jnp.broadcast_to(b_g[:, None, :], (g, f, nper)))
+            else:
+                p_blocks = cinv(self.loop_matrix_blocks(z))
+                eq = "gfnm,gn->gfm" if transpose else "gfnm,gm->gfn"
+                q = jnp.einsum(eq, p_blocks, b_g)
+            return jnp.transpose(q, (1, 0, 2)).reshape(f, self.num_delays)
         if use_solve:
             from ..kernels.linalg import csolve1
 
             m = self.loop_matrix(z)
             if transpose:
                 m = jnp.swapaxes(m, -1, -2)
-            return csolve1(m, b_vec.astype(jnp.complex64))
+            return csolve1(m, b_c)
         p = self(z)
         eq = "fnm,n->fm" if transpose else "fnm,m->fn"
-        return jnp.einsum(eq, p, b_vec.astype(jnp.complex64))
+        return jnp.einsum(eq, p, b_c)

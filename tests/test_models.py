@@ -355,3 +355,27 @@ def test_gfdn_edc_matches_prescribed_t60():
     slope = (edc_db[i1] - edc_db[i0]) / ((i1 - i0) / fs)
     t60_est = -60.0 / slope
     assert 0.32 < t60_est < 0.48, t60_est
+
+
+def test_block_diagonal_inverse_matches_general():
+    """Zero-coupling block inversion == inverting the full loop matrix."""
+    from diffgfdn_tpu.kernels.linalg import cinv
+
+    loop = _make_loop(use_zero_coupling=True)
+    z = get_frequency_samples(33)
+    params = loop.init(jax.random.PRNGKey(9), z)
+    p_block = np.asarray(loop.apply(params, z))
+    m_full = loop.apply(params, z, method=FeedbackLoop.loop_matrix)
+    p_full = np.asarray(cinv(m_full))
+    assert np.max(np.abs(p_block - p_full)) < 1e-4
+
+    # drive paths agree too (both orientations)
+    b = jnp.asarray(np.random.RandomState(0).randn(6).astype(np.float32))
+    q_block = np.asarray(loop.apply(params, z, b, method=FeedbackLoop.drive))
+    q_ref = np.einsum("fnm,m->fn", p_full, np.asarray(b))
+    assert np.max(np.abs(q_block - q_ref)) < 1e-4
+    q_t = np.asarray(
+        loop.apply(params, z, b, True, method=FeedbackLoop.drive)
+    )
+    q_t_ref = np.einsum("fnm,n->fm", p_full, np.asarray(b))
+    assert np.max(np.abs(q_t - q_t_ref)) < 1e-4
