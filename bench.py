@@ -96,25 +96,28 @@ def bench_tpu(steps: int = 24):
     )
     log("precomputing target features...")
     trainer.precompute_target_features(arrays)
-    batch = encode_batch(gather_batch(arrays, np.arange(BATCH)))
     params = init_with_batch(model, jax.random.PRNGKey(0), raw)
     trainer.optimizer = make_optimizer(cfg, params, 21)
     opt_state = trainer.optimizer.init(params)
     key = jax.random.PRNGKey(1)
 
+    # device-resident data: upload once, gather batches on device by index
+    # (the TPU sits behind a network tunnel; per-step host batches would
+    # cost ~10x the compute)
+    data = trainer.upload_arrays(arrays)
+    step = jax.jit(trainer._make_indexed_step(True))
+    idx = jnp.arange(BATCH, dtype=jnp.int32)
+
     log("compiling tpu train step...")
     t0 = time.time()
-    params, opt_state, total, _ = trainer._train_step(params, opt_state, batch, key)
+    params, opt_state, total, _ = step(params, opt_state, data, idx, key)
     total.block_until_ready()
     log(f"compile+first step: {time.time() - t0:.1f}s, loss={float(total):.3f}")
 
-    # TPU throughput drifts between sessions/minutes; report the median
     times = []
     for i in range(steps):
         t0 = time.time()
-        params, opt_state, total, _ = trainer._train_step(
-            params, opt_state, batch, key
-        )
+        params, opt_state, total, _ = step(params, opt_state, data, idx, key)
         total.block_until_ready()
         times.append(time.time() - t0)
     # the TPU here is tunnel-shared: contention adds multi-x additive noise

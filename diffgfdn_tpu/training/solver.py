@@ -195,7 +195,10 @@ def run_training_var_receiver_pos(
     trainer.precompute_target_features(arrays)
     example = next(iter(train_batches(0)))
     params = init_with_batch(model, jax.random.PRNGKey(config.seed), example)
-    params = trainer.fit(params, train_batches, valid_batches, seed=config.seed)
+    # device-resident data path: upload once, gather batches on device
+    params = trainer.fit_indexed(
+        params, arrays, train_idx, valid_idx, seed=config.seed
+    )
 
     save_diff_gfdn_parameters(model, params, tc.train_dir)
     save_loss(trainer.train_loss, trainer.valid_loss, tc.train_dir)
@@ -342,7 +345,9 @@ def run_training_anisotropic_decay_var_receiver_pos(
     )
     example = next(iter(train_batches(0)))
     params = init_with_batch(model, jax.random.PRNGKey(config.seed), example)
-    params = trainer.fit(params, train_batches, valid_batches, seed=config.seed)
+    params = trainer.fit_indexed(
+        params, arrays, train_idx, valid_idx, seed=config.seed
+    )
     save_diff_gfdn_parameters(model, params, tc.train_dir)
     save_loss(trainer.train_loss, trainer.valid_loss, tc.train_dir)
     return trainer, params

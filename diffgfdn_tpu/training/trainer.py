@@ -227,6 +227,9 @@ class GFDNTrainer:
             all_losses["sparsity_loss"] = sparsity
         return all_losses
 
+    # keys shared across receiver positions (not gathered per batch)
+    _SHARED_KEYS = ("z_values", "mesh_2d", "sph_directions")
+
     def _make_step(self, training: bool) -> Callable:
         # traced fns take complex-free ("encoded") batches — the TPU backend
         # here can't transfer complex arrays; decode is the first traced op
@@ -251,6 +254,142 @@ class GFDNTrainer:
             return params, opt_state, total, aux
 
         return train_step
+
+    # ----------------------- device-resident data path -----------------------
+    # The TPU here sits behind a network tunnel: shipping ~50 MB of host
+    # batches per step costs more than the compute. Instead the whole
+    # (encoded) dataset is device_put ONCE and batches are gathered ON
+    # DEVICE from an index vector — the per-step host->device transfer is
+    # just batch_size int32s.
+
+    def upload_arrays(self, arrays) -> Dict:
+        """Encode a BatchArrays to device-resident jnp arrays (one transfer)."""
+        from ..data.batching import gather_batch
+
+        full = gather_batch(arrays, np.arange(arrays.num_items))
+        enc = encode_batch(full)
+        return {k: jnp.asarray(v) for k, v in enc.items()}
+
+    def _gather_device(self, data: Dict, idx) -> Dict:
+        out = {}
+        for k, v in data.items():
+            base = k[: -len("__ri")] if k.endswith("__ri") else k
+            out[k] = v if base in self._SHARED_KEYS else v[idx]
+        return out
+
+    def _make_indexed_step(self, training: bool) -> Callable:
+        def loss_fn(params, batch, key):
+            all_losses = self._losses(params, batch, key)
+            return sum(all_losses.values()), all_losses
+
+        if not training:
+            def valid_step(params, data, idx, key):
+                batch = decode_batch(self._gather_device(data, idx))
+                return loss_fn(params, batch, key)
+
+            return valid_step
+
+        def train_step(params, opt_state, data, idx, key):
+            batch = decode_batch(self._gather_device(data, idx))
+            (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch, key
+            )
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, total, aux
+
+        return train_step
+
+    def fit_indexed(
+        self,
+        params,
+        arrays,
+        train_idx: np.ndarray,
+        valid_idx: np.ndarray,
+        seed: int = 0,
+    ):
+        """Epoch loop over device-resident data (on-device batch gathers)."""
+        self.optimizer = make_optimizer(self.cfg, params, self.steps_per_epoch)
+        opt_state = self.optimizer.init(params)
+        key = jax.random.PRNGKey(seed)
+        data = self.upload_arrays(arrays)
+        bs = min(self.cfg.batch_size, max(1, len(train_idx)))
+        vbs = min(self.cfg.batch_size, max(1, len(valid_idx)))
+
+        train_step = jax.jit(self._make_indexed_step(True), donate_argnums=(0, 1))
+        valid_step = jax.jit(self._make_indexed_step(False))
+        normalize = jax.jit(
+            lambda p, d: self._normalize_params_from_data(p, d)
+        )
+        save_checkpoint(self.cfg.train_dir, -1, params)
+        normalize_per_step = not getattr(self.model, "use_svf_in_output", False)
+
+        rng = np.random.RandomState(seed)
+        start = time.time()
+        for epoch in range(self.cfg.max_epochs):
+            ep_start = time.time()
+            perm = train_idx[rng.permutation(len(train_idx))]
+            ep_loss, ep_all, n_train = 0.0, {}, 0
+            if not normalize_per_step:
+                params = normalize(params, data)
+            for k in range(len(perm) // bs):
+                idx = jnp.asarray(perm[k * bs : (k + 1) * bs], jnp.int32)
+                if normalize_per_step:
+                    params = normalize(params, data)
+                key, sub = jax.random.split(key)
+                params, opt_state, total, aux = train_step(
+                    params, opt_state, data, idx, sub
+                )
+                ep_loss += float(total)
+                for kk, v in aux.items():
+                    ep_all[kk] = ep_all.get(kk, 0.0) + float(v)
+                n_train += 1
+
+            ev_loss, ev_all, n_valid = 0.0, {}, 0
+            for k in range(max(1, len(valid_idx) // vbs)):
+                vidx = valid_idx[k * vbs : (k + 1) * vbs]
+                if len(vidx) == 0:
+                    break
+                if len(vidx) < vbs:  # pad for a single compile
+                    vidx = np.concatenate([vidx, valid_idx[: vbs - len(vidx)]])
+                key, sub = jax.random.split(key)
+                total, aux = valid_step(
+                    params, data, jnp.asarray(vidx, jnp.int32), sub
+                )
+                ev_loss += float(total)
+                for kk, v in aux.items():
+                    ev_all[kk] = ev_all.get(kk, 0.0) + float(v)
+                n_valid += 1
+
+            self.train_loss.append(ep_loss / max(n_train, 1))
+            self.individual_train_loss.append(
+                {k: v / max(n_train, 1) for k, v in ep_all.items()}
+            )
+            self.valid_loss.append(ev_loss / max(n_valid, 1))
+            self.individual_valid_loss.append(
+                {k: v / max(n_valid, 1) for k, v in ev_all.items()}
+            )
+            save_checkpoint(self.cfg.train_dir, epoch, params)
+            logger.info(
+                "epoch %d train %.4f valid %.4f (%.2fs)",
+                epoch, self.train_loss[-1], self.valid_loss[-1],
+                time.time() - ep_start,
+            )
+            if epoch >= 1:
+                if abs(self.valid_loss[-2] - self.valid_loss[-1]) <= self.early_stop_tol:
+                    self._early_stop += 1
+                else:
+                    self._early_stop = 0
+            if self._early_stop == self.patience:
+                logger.info("early stopping at epoch %d", epoch)
+                break
+        logger.info("training time: %.3fs", time.time() - start)
+        return params
+
+    def _normalize_params_from_data(self, params, data: Dict):
+        key = "z_values__ri" if "z_values__ri" in data else "z_values"
+        enc = {key: data[key]}
+        return self._normalize_params(params, enc)
 
     # ---------------------------- normalization ------------------------------
 
