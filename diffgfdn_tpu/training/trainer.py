@@ -329,7 +329,10 @@ class GFDNTrainer:
         for epoch in range(self.cfg.max_epochs):
             ep_start = time.time()
             perm = train_idx[rng.permutation(len(train_idx))]
-            ep_loss, ep_all, n_train = 0.0, {}, 0
+            # losses accumulate ON DEVICE: fetching a scalar every step costs
+            # a full tunnel round trip (~45 ms) — steps stay pipelined and
+            # the host syncs once per epoch
+            ep_loss, ep_all, n_train = None, {}, 0
             if not normalize_per_step:
                 params = normalize(params, data)
             for k in range(len(perm) // bs):
@@ -340,12 +343,12 @@ class GFDNTrainer:
                 params, opt_state, total, aux = train_step(
                     params, opt_state, data, idx, sub
                 )
-                ep_loss += float(total)
+                ep_loss = total if ep_loss is None else ep_loss + total
                 for kk, v in aux.items():
-                    ep_all[kk] = ep_all.get(kk, 0.0) + float(v)
+                    ep_all[kk] = v if kk not in ep_all else ep_all[kk] + v
                 n_train += 1
 
-            ev_loss, ev_all, n_valid = 0.0, {}, 0
+            ev_loss, ev_all, n_valid = None, {}, 0
             for k in range(max(1, len(valid_idx) // vbs)):
                 vidx = valid_idx[k * vbs : (k + 1) * vbs]
                 if len(vidx) == 0:
@@ -356,18 +359,22 @@ class GFDNTrainer:
                 total, aux = valid_step(
                     params, data, jnp.asarray(vidx, jnp.int32), sub
                 )
-                ev_loss += float(total)
+                ev_loss = total if ev_loss is None else ev_loss + total
                 for kk, v in aux.items():
-                    ev_all[kk] = ev_all.get(kk, 0.0) + float(v)
+                    ev_all[kk] = v if kk not in ev_all else ev_all[kk] + v
                 n_valid += 1
 
-            self.train_loss.append(ep_loss / max(n_train, 1))
-            self.individual_train_loss.append(
-                {k: v / max(n_train, 1) for k, v in ep_all.items()}
+            self.train_loss.append(
+                float(ep_loss) / max(n_train, 1) if ep_loss is not None else 0.0
             )
-            self.valid_loss.append(ev_loss / max(n_valid, 1))
+            self.individual_train_loss.append(
+                {k: float(v) / max(n_train, 1) for k, v in ep_all.items()}
+            )
+            self.valid_loss.append(
+                float(ev_loss) / max(n_valid, 1) if ev_loss is not None else 0.0
+            )
             self.individual_valid_loss.append(
-                {k: v / max(n_valid, 1) for k, v in ev_all.items()}
+                {k: float(v) / max(n_valid, 1) for k, v in ev_all.items()}
             )
             save_checkpoint(self.cfg.train_dir, epoch, params)
             logger.info(
