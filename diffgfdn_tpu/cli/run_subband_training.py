@@ -124,9 +124,6 @@ def training_band_parallel(configs, room_data=None):
     idx = np.arange(arrays.num_items)
     bs = min(cfg0.trainer_config.batch_size, len(idx))
 
-    def train_batches(epoch):
-        return iterate_batches(arrays, idx, bs, shuffle=True, seed=epoch)
-
     trainer = BandParallelTrainer(
         model,
         cfg0.trainer_config,
@@ -134,10 +131,12 @@ def training_band_parallel(configs, room_data=None):
         steps_per_epoch=max(1, len(idx) // bs),
         max_ir_len_ms=float(np.max(room_data.common_decay_times)) * 1e3,
     )
-    example = next(iter(train_batches(0)))
+    example = next(iter(iterate_batches(arrays, idx, bs, shuffle=False)))
     params, opt_state = trainer.init(example, seed=cfg0.seed)
-    params, opt_state, history = trainer.fit(
-        params, opt_state, train_batches, max_epochs=cfg0.trainer_config.max_epochs
+    # device-resident data: one upload, on-device batch gathers per step
+    params, opt_state, history = trainer.fit_indexed(
+        params, opt_state, arrays, train_idx=idx,
+        max_epochs=cfg0.trainer_config.max_epochs, seed=cfg0.seed,
     )
     # save per-band checkpoints in each band's train_dir
     for b, cfg in enumerate(configs):

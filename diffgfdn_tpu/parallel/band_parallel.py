@@ -156,6 +156,9 @@ class BandParallelTrainer:
 
         self._stepped = stepped
         self._jitted = {}
+        # band responses ride along every step: upload ONCE (band-sharded)
+        # instead of re-transferring the numpy constant per call
+        self._band_resps_dev = jax.device_put(self.band_responses, bsh)
 
     def step(self, params, opt_state, batch: Dict, key):
         """One band-parallel optimizer step (compiles once per batch shape)."""
@@ -184,8 +187,78 @@ class BandParallelTrainer:
                 self._stepped, in_shardings=in_shardings
             )
         return self._jitted[shapes](
-            params, opt_state, enc, self.band_responses, key
+            params, opt_state, enc, self._band_resps_dev, key
         )
+
+    # ----------------------- device-resident data path -----------------------
+    # Same discipline as GFDNTrainer.fit_indexed: the whole encoded dataset
+    # is device_put ONCE (replicated, so per-band gathers stay local) and
+    # batches are gathered ON DEVICE from an int32 index vector; per-band
+    # losses accumulate on device and the host syncs once per epoch.
+
+    _SHARED_KEYS = ("z_values", "mesh_2d", "sph_directions")
+
+    def upload_arrays(self, arrays) -> Dict:
+        """Encode a BatchArrays to device-resident arrays (one transfer)."""
+        from ..data.batching import gather_batch
+
+        full = gather_batch(arrays, np.arange(arrays.num_items))
+        enc = encode_batch(full)
+        repl = replicated(self.mesh)
+        return {k: jax.device_put(np.asarray(v), repl) for k, v in enc.items()}
+
+    def _make_indexed_step(self) -> Callable:
+        stepped = self._stepped
+        dsh = batch_sharding(self.mesh)
+        shared = self._SHARED_KEYS
+
+        def indexed_step(params, opt_state, data, band_resps, idx, key):
+            enc = {}
+            for k, v in data.items():
+                base = k[: -len("__ri")] if k.endswith("__ri") else k
+                if base in shared:
+                    enc[k] = v
+                else:
+                    enc[k] = jax.lax.with_sharding_constraint(v[idx], dsh)
+            return stepped(params, opt_state, enc, band_resps, key)
+
+        return indexed_step
+
+    def fit_indexed(
+        self,
+        params,
+        opt_state,
+        arrays,
+        train_idx: Optional[np.ndarray] = None,
+        max_epochs: Optional[int] = None,
+        seed: int = 0,
+    ):
+        """Epoch loop over device-resident data (on-device batch gathers)."""
+        data = self.upload_arrays(arrays)
+        if train_idx is None:
+            train_idx = np.arange(arrays.num_items)
+        bs = min(self.cfg.batch_size, max(1, len(train_idx)))
+        step = jax.jit(self._make_indexed_step(), donate_argnums=(0, 1))
+        key = jax.random.PRNGKey(seed)
+        rng = np.random.RandomState(seed)
+        max_epochs = max_epochs or self.cfg.max_epochs
+        history = []
+        for _ in range(max_epochs):
+            perm = train_idx[rng.permutation(len(train_idx))]
+            totals, nb = None, 0
+            for k in range(max(1, len(perm) // bs)):
+                bidx = perm[k * bs : (k + 1) * bs]
+                if len(bidx) < bs:  # pad to keep one compiled shape
+                    bidx = np.concatenate([bidx, perm[: bs - len(bidx)]])
+                key, sub = jax.random.split(key)
+                params, opt_state, total, _ = step(
+                    params, opt_state, data, self._band_resps_dev,
+                    jnp.asarray(bidx, jnp.int32), sub,
+                )
+                totals = total if totals is None else totals + total
+                nb += 1
+            history.append(np.asarray(totals) / max(nb, 1))
+        return params, opt_state, np.stack(history)
 
     def fit(
         self,

@@ -100,6 +100,36 @@ def test_band_parallel_training_step(room):
     assert (history.min(axis=0) < history[0] + 1e-6).all()
 
 
+def test_band_parallel_fit_indexed(room):
+    """Device-resident indexed path matches the host-batch path's contract."""
+    model = _model(room)
+    cfg = TrainerConfig(
+        batch_size=8, num_freq_bins=1024, max_epochs=2, lr=5e-3, io_lr=5e-3
+    )
+    num_bands = 2
+    band_resps = np.stack(
+        [
+            subband_filter_response(
+                fc, (63.0, 4000.0), 1, room.sample_rate, 1024,
+            )
+            for fc in (500.0, 1000.0)
+        ]
+    )
+    arrays = arrays_from_room_dataset(room)
+    idx = np.arange(arrays.num_items)
+    trainer = BandParallelTrainer(
+        model, cfg, band_resps, steps_per_epoch=3, max_ir_len_ms=120.0
+    )
+    example = next(iter(iterate_batches(arrays, idx, 8, shuffle=False)))
+    params, opt_state = trainer.init(example, seed=0)
+    params, opt_state, history = trainer.fit_indexed(
+        params, opt_state, arrays, train_idx=idx, max_epochs=3, seed=0
+    )
+    assert history.shape == (3, num_bands)
+    assert np.isfinite(history).all()
+    assert (history.min(axis=0) < history[0] + 1e-6).all()
+
+
 def test_shard_batch_dict(room):
     mesh = make_mesh(num_bands=1)
     arrays = arrays_from_room_dataset(room)
