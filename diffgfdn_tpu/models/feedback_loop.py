@@ -60,10 +60,18 @@ class FeedbackLoop(nn.Module):
     common_decay_times_init: Optional[Tuple[float, ...]] = None
     colorless_feedback_matrix_skew: Optional[np.ndarray] = None
     trainable_feedback: bool = True
-    # opt-in fused Pallas Gauss-Jordan inverse (kernels.pallas_cinv); the
-    # XLA formulation is the default (faster under this env's Mosaic
-    # compiler constraints — see kernels/pallas_cinv.py docstring)
-    use_pallas_inverse: bool = False
+    # fused Pallas Gauss-Jordan inverse (kernels.pallas_cinv): None = auto
+    # (on for TPU backends — measured equal-or-faster than the XLA
+    # formulation in fwd and grad, and 3-5x faster to compile); True/False
+    # force it (False e.g. to sidestep a Mosaic compiler regression)
+    use_pallas_inverse: Optional[bool] = None
+
+    def _pallas_inverse(self) -> bool:
+        if self.use_pallas_inverse is not None:
+            return self.use_pallas_inverse
+        import jax
+
+        return jax.default_backend() == "tpu"
 
     @property
     def num_delays(self) -> int:
@@ -257,19 +265,25 @@ class FeedbackLoop(nn.Module):
             # invert the G independent Nper x Nper blocks, then assemble
             g = self.num_groups
             nper = self.num_delay_lines_per_group
-            p_blocks = cinv(self.loop_matrix_blocks(z))  # (G, F, nper, nper)
             f = z.shape[0]
+            p_blocks = self._inv(
+                self.loop_matrix_blocks(z).reshape(g * f, nper, nper)
+            ).reshape(g, f, nper, nper)
             p = jnp.zeros((f, self.num_delays, self.num_delays), jnp.complex64)
             for k in range(g):
                 s = k * nper
                 p = p.at[:, s : s + nper, s : s + nper].set(p_blocks[k])
             return p
-        if self.use_pallas_inverse:
+        return self._inv(self.loop_matrix(z))
+
+    def _inv(self, m: jnp.ndarray) -> jnp.ndarray:
+        """Batched (K, N, N) complex inverse via the selected implementation."""
+        if self._pallas_inverse():
             from ..kernels.linalg import cinv_with
             from ..kernels.pallas_cinv import cinv_pallas
 
-            return cinv_with(cinv_pallas)(self.loop_matrix(z))
-        return cinv(self.loop_matrix(z))
+            return cinv_with(cinv_pallas)(m)
+        return cinv(m)
 
     def drive(
         self,
@@ -301,7 +315,9 @@ class FeedbackLoop(nn.Module):
                     m = jnp.swapaxes(m, -1, -2)
                 q = csolve1(m, jnp.broadcast_to(b_g[:, None, :], (g, f, nper)))
             else:
-                p_blocks = cinv(self.loop_matrix_blocks(z))
+                p_blocks = self._inv(
+                    self.loop_matrix_blocks(z).reshape(g * f, nper, nper)
+                ).reshape(g, f, nper, nper)
                 eq = "gfnm,gn->gfm" if transpose else "gfnm,gm->gfn"
                 q = jnp.einsum(eq, p_blocks, b_g)
             return jnp.transpose(q, (1, 0, 2)).reshape(f, self.num_delays)

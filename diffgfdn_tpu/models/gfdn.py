@@ -82,6 +82,8 @@ class DiffGFDN(nn.Module):
     # single-RHS solve (~1.6x faster) instead of the training-optimal
     # inverse (whose VJP is cheaper)
     inference_solve: bool = False
+    # None = auto (Pallas fused inverse on TPU backends); see FeedbackLoop
+    use_pallas_inverse: Optional[bool] = None
 
     @property
     def num_delay_lines(self) -> int:
@@ -120,6 +122,7 @@ class DiffGFDN(nn.Module):
             iir_coeffs=self.iir_coeffs,
             common_decay_times_init=self.common_decay_times_init,
             colorless_feedback_matrix_skew=self.colorless_feedback_matrix_skew,
+            use_pallas_inverse=self.use_pallas_inverse,
         )
         self._setup_heads()
 
