@@ -123,10 +123,16 @@ def sos_frequency_response(
     ``num``/``den`` have shape (..., n_sections, 3); ``z`` has shape (F,).
     Returns (..., F): prod_i (b0+b1 z^-1 + b2 z^-2)/(a0+a1 z^-1 + a2 z^-2).
     """
+    # elementwise polynomial evaluation (VPU, full f32): an einsum over the
+    # 3 coefficients would hit the MXU at bf16 default precision on TPU,
+    # where the denominator's near-cancellation at DC (a0+a1+a2 ~ 4 f^2 for
+    # low cutoffs) rounds to 0 and the division NaNs
     zinv = (1.0 / z).astype(jnp.complex64)  # (F,)
-    zpow = jnp.stack([jnp.ones_like(zinv), zinv, zinv ** 2], axis=0)  # (3, F)
-    hnum = jnp.einsum("...kc,cf->...kf", num.astype(jnp.complex64), zpow)
-    hden = jnp.einsum("...kc,cf->...kf", den.astype(jnp.complex64), zpow)
+    zinv2 = zinv * zinv
+    n = num.astype(jnp.complex64)[..., None]  # (..., k, 3, 1)
+    d = den.astype(jnp.complex64)[..., None]
+    hnum = n[..., 0, :] + n[..., 1, :] * zinv + n[..., 2, :] * zinv2
+    hden = d[..., 0, :] + d[..., 1, :] * zinv + d[..., 2, :] * zinv2
     return jnp.prod(hnum / (hden + eps), axis=-2)
 
 
@@ -138,11 +144,17 @@ def iir_frequency_response(
     ``num``/``den``: (..., order) polynomial coefficients in z^-1
     (reference: gain_filters.py:180-198). Returns (..., F).
     """
+    # Horner evaluation in z^-1, elementwise (VPU, full f32 — see
+    # sos_frequency_response for why no einsum/MXU here)
     order = num.shape[-1]
     zinv = (1.0 / z).astype(jnp.complex64)
-    zpow = zinv[None, :] ** jnp.arange(order)[:, None]  # (order, F)
-    hnum = jnp.einsum("...c,cf->...f", num.astype(jnp.complex64), zpow)
-    hden = jnp.einsum("...c,cf->...f", den.astype(jnp.complex64), zpow)
+    n = num.astype(jnp.complex64)
+    d = den.astype(jnp.complex64)
+    hnum = n[..., order - 1, None] * jnp.ones_like(zinv)
+    hden = d[..., order - 1, None] * jnp.ones_like(zinv)
+    for i in range(order - 2, -1, -1):
+        hnum = hnum * zinv + n[..., i, None]
+        hden = hden * zinv + d[..., i, None]
     return hnum / (hden + eps)
 
 

@@ -54,6 +54,33 @@ def test_sos_frequency_response_matches_scipy():
     assert np.allclose(np.asarray(h), h_ref, atol=1e-4)
 
 
+def test_sos_response_low_cutoff_dc_no_cancellation():
+    """DC response of a low-cutoff section must not blow up.
+
+    At z = 1 the denominator sums to ~4 f^2 (f = pi fc / fs ~ 3e-3 for a
+    31 Hz shelf at 32 kHz): a near-total cancellation. Evaluating the
+    polynomial via a matmul (MXU at bf16 default precision on TPU) rounds
+    it to 0 and the response NaNs — the elementwise form must stay finite
+    and match float64.
+    """
+    import jax.numpy as jnp
+
+    from diffgfdn_tpu.ops.biquad import sos_frequency_response, svf_to_biquad
+
+    f = np.pi * 31.25 / 32000.0
+    num, den = svf_to_biquad(
+        jnp.asarray(f), jnp.asarray(0.7), jnp.asarray(3), jnp.asarray(5.0)
+    )
+    z = jnp.asarray([1.0 + 0.0j, np.exp(1j * 0.01)], jnp.complex64)
+    h = np.asarray(sos_frequency_response(num[None], den[None], z))
+    n64 = np.asarray(num, np.float64)
+    d64 = np.asarray(den, np.float64)
+    z64 = np.asarray(z, np.complex128)
+    truth = np.polyval(n64[::-1], 1.0 / z64) / np.polyval(d64[::-1], 1.0 / z64)
+    assert np.isfinite(h).all()
+    np.testing.assert_allclose(h, truth, rtol=2e-3)
+
+
 def test_iir_frequency_response_matches_scipy():
     b, a = sig.butter(4, 0.3)
     w, h_ref = sig.freqz(b, a, worN=64)
