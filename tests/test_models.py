@@ -208,6 +208,69 @@ def test_var_receiver_pos_svf_forward():
     assert np.all(np.isfinite(np.asarray(h).view(np.float32)))
 
 
+def test_group_pooled_transfer_function_matches_generic():
+    """transfer_function_group_heads == transfer_function with expanded heads.
+
+    The group-pooled path contracts P with the io gains into (F, G, G)
+    before touching the batch; it must be EXACT vs the generic (B, N, F)
+    einsum formulation for per-group heads.
+    """
+    from diffgfdn_tpu.models.gain_heads import expand_groups_to_delay_lines
+
+    model = DiffGFDNVarSourceReceiverPos(
+        sample_rate=FS,
+        num_groups=NUM_GROUPS,
+        delays=DELAYS,
+        gains=_gains(),
+        use_svf_in_output=True,
+        use_svf_in_input=True,
+        num_hidden_layers=1,
+        num_neurons=16,
+        input_num_hidden_layers=1,
+        input_num_neurons=16,
+    )
+    x = _features()
+    params = model.init(jax.random.PRNGKey(0), x)
+    rng = np.random.RandomState(3)
+    batch, f = 3, 33
+    nper = len(DELAYS) // NUM_GROUPS
+    c_g = jnp.asarray(
+        (rng.randn(batch, NUM_GROUPS, f) + 1j * rng.randn(batch, NUM_GROUPS, f))
+        .astype(np.complex64)
+    )
+    b_g = jnp.asarray(
+        (rng.randn(batch, NUM_GROUPS, f) + 1j * rng.randn(batch, NUM_GROUPS, f))
+        .astype(np.complex64)
+    )
+
+    def run(p, x):
+        z = x["z_values"]
+
+        def inner(mdl):
+            pooled = mdl.transfer_function_group_heads(z, c_g, b_g)
+            pooled_c_only = mdl.transfer_function_group_heads(z, c_g, None)
+            c = expand_groups_to_delay_lines(c_g, nper) * mdl.output_gains.astype(
+                jnp.complex64
+            )
+            b = expand_groups_to_delay_lines(b_g, nper) * mdl.input_gains.astype(
+                jnp.complex64
+            )
+            generic = mdl.transfer_function(z, c, b)
+            b1 = jnp.broadcast_to(
+                mdl.input_gains.astype(jnp.complex64), (batch, len(DELAYS), f)
+            )
+            generic_c_only = mdl.transfer_function(z, c, b1)
+            return pooled, generic, pooled_c_only, generic_c_only
+
+        return model.apply(p, method=inner)
+
+    pooled, generic, pooled1, generic1 = run(params, x)
+    scale = float(jnp.abs(generic).max())
+    assert float(jnp.abs(pooled - generic).max()) < 1e-5 * max(scale, 1.0)
+    scale1 = float(jnp.abs(generic1).max())
+    assert float(jnp.abs(pooled1 - generic1).max()) < 1e-5 * max(scale1, 1.0)
+
+
 def test_var_receiver_pos_scalar_forward_and_colorless():
     model = DiffGFDNVarReceiverPos(
         sample_rate=FS,
