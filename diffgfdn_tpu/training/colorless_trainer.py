@@ -111,23 +111,29 @@ class ColorlessFDNTrainer:
         start = time.time()
         for epoch in range(self.cfg.max_epochs):
             ep = rng.permutation(train_idx)
-            total = 0.0
-            nb = 0
+            # device-scalar accumulation: one host sync per epoch (a float()
+            # per step costs a full round trip through the TPU tunnel)
+            total, nb = None, 0
             for k in range(len(ep) // bs):
                 z = jnp.asarray(angles[ep[k * bs : (k + 1) * bs]])
                 loss, grads = self._grad(params, z)
                 updates, opt_state = optimizer.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
-                total += float(loss)
+                total = loss if total is None else total + loss
                 nb += 1
-            self.train_loss.append(total / max(nb, 1))
+            self.train_loss.append(
+                float(total) / max(nb, 1) if total is not None else 0.0
+            )
 
-            vtotal, vb = 0.0, 0
+            vtotal, vb = None, 0
             for k in range(max(1, len(valid_idx) // vbs)):
                 z = jnp.asarray(angles[valid_idx[k * vbs : (k + 1) * vbs]])
-                vtotal += float(self._loss_valid(params, z))
+                loss = self._loss_valid(params, z)
+                vtotal = loss if vtotal is None else vtotal + loss
                 vb += 1
-            self.valid_loss.append(vtotal / max(vb, 1))
+            self.valid_loss.append(
+                float(vtotal) / max(vb, 1) if vtotal is not None else 0.0
+            )
             save_checkpoint(self.train_dir, epoch, params)
             logger.info(
                 "colorless epoch %d train %.4f valid %.4f",

@@ -206,21 +206,28 @@ class SpatialSamplingTrainer:
 
         for epoch in range(self.cfg.max_epochs):
             t0 = time.time()
-            total, nb = 0.0, 0
+            # losses accumulate ON DEVICE; a float() per step would cost a
+            # full host round trip (~45 ms through the TPU tunnel) and
+            # serialize the otherwise-pipelined steps
+            total, nb = None, 0
             for batch in train_batches(epoch):
                 params, opt_state, loss, _ = self._jitted_train(
                     params, opt_state, batch
                 )
-                total += float(loss)
+                total = loss if total is None else total + loss
                 nb += 1
-            self.train_loss.append(total / max(nb, 1))
+            self.train_loss.append(
+                float(total) / max(nb, 1) if total is not None else 0.0
+            )
             if valid_batches is not None:
-                vtotal, vb = 0.0, 0
+                vtotal, vb = None, 0
                 for batch in valid_batches():
                     loss, _ = self._valid_step(params, batch)
-                    vtotal += float(loss)
+                    vtotal = loss if vtotal is None else vtotal + loss
                     vb += 1
-                self.valid_loss.append(vtotal / max(vb, 1))
+                self.valid_loss.append(
+                    float(vtotal) / max(vb, 1) if vtotal is not None else 0.0
+                )
             save_checkpoint(self._checkpoint_dir(), epoch, params)
             logger.info(
                 "spatial epoch %d train %.4f%s (%.2fs)",

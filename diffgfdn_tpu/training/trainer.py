@@ -443,7 +443,10 @@ class GFDNTrainer:
         start = time.time()
         for epoch in range(self.cfg.max_epochs):
             ep_start = time.time()
-            ep_loss, ep_all = 0.0, {}
+            # device-scalar accumulation (one host sync per epoch): a
+            # float() per step costs a ~45 ms tunnel round trip and
+            # serializes the otherwise-pipelined steps
+            ep_loss, ep_all = None, {}
             n_train = 0
             if not normalize_per_step:
                 first = next(iter(train_batches(epoch)), None)
@@ -457,28 +460,32 @@ class GFDNTrainer:
                 params, opt_state, total, aux = self._train_step(
                     params, opt_state, enc, sub
                 )
-                ep_loss += float(total)
+                ep_loss = total if ep_loss is None else ep_loss + total
                 for k, v in aux.items():
-                    ep_all[k] = ep_all.get(k, 0.0) + float(v)
+                    ep_all[k] = v if k not in ep_all else ep_all[k] + v
                 n_train += 1
 
-            ev_loss, ev_all = 0.0, {}
+            ev_loss, ev_all = None, {}
             n_valid = 0
             for batch in valid_batches():
                 key, sub = jax.random.split(key)
                 total, aux = self._valid_step(params, encode_batch(batch), sub)
-                ev_loss += float(total)
+                ev_loss = total if ev_loss is None else ev_loss + total
                 for k, v in aux.items():
-                    ev_all[k] = ev_all.get(k, 0.0) + float(v)
+                    ev_all[k] = v if k not in ev_all else ev_all[k] + v
                 n_valid += 1
 
-            self.train_loss.append(ep_loss / max(n_train, 1))
-            self.individual_train_loss.append(
-                {k: v / max(n_train, 1) for k, v in ep_all.items()}
+            self.train_loss.append(
+                float(ep_loss) / max(n_train, 1) if ep_loss is not None else 0.0
             )
-            self.valid_loss.append(ev_loss / max(n_valid, 1))
+            self.individual_train_loss.append(
+                {k: float(v) / max(n_train, 1) for k, v in ep_all.items()}
+            )
+            self.valid_loss.append(
+                float(ev_loss) / max(n_valid, 1) if ev_loss is not None else 0.0
+            )
             self.individual_valid_loss.append(
-                {k: v / max(n_valid, 1) for k, v in ev_all.items()}
+                {k: float(v) / max(n_valid, 1) for k, v in ev_all.items()}
             )
             save_checkpoint(self.cfg.train_dir, epoch, params)
             logger.info(
