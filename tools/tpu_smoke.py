@@ -276,6 +276,62 @@ def smoke_band_parallel(tmp):
     return history.ravel()
 
 
+def smoke_inference(tmp):
+    """Train briefly, then drive checkpoint inference + synthesis paths."""
+    import jax.numpy as jnp
+
+    from diffgfdn_tpu.inference import InferDiffGFDN
+    from diffgfdn_tpu.inference.cs_synthesis import (
+        get_rirs_from_common_slopes_model,
+    )
+    from diffgfdn_tpu.kernels.tdgfdn import synthesize_rirs_time_domain
+    from diffgfdn_tpu.training.solver import run_training_var_receiver_pos
+
+    room = _room(tmp)
+    cfg = _base_config(tmp)
+    trainer, params = run_training_var_receiver_pos(cfg, room_data=room)
+
+    # frequency-domain synthesis from the checkpoint
+    infer = InferDiffGFDN(cfg, room, variant="var_receiver", params=params)
+    rirs = infer.rirs_at(np.arange(4), batch_size=4)
+    assert rirs.shape == (4, 2048) and np.isfinite(rirs).all()
+
+    # time-domain block-feedforward synthesis on the same model
+    heads = infer.head_outputs(np.arange(4))
+    fl = trainer.model  # static config
+    delays = np.asarray(fl.delays)
+    n = len(delays)
+    rng = np.random.RandomState(0)
+    q, _ = np.linalg.qr(rng.randn(n, n))
+    td = synthesize_rirs_time_domain(
+        delays=delays,
+        gains=np.asarray(fl.gains, np.float32),
+        feedback_matrix=q.astype(np.float32),
+        input_gains=np.ones(n, np.float32) / np.sqrt(n),
+        output_gains=np.ones((4, n), np.float32) / np.sqrt(n),
+        num_samples=2048,
+    )
+    td = np.asarray(td)
+    assert td.shape == (4, 2048) and np.isfinite(td).all()
+
+    # CS shaped-noise synthesis (omni amplitudes)
+    amps = np.abs(rng.rand(4, room.num_rooms, 2)).astype(np.float32)
+    cs = get_rirs_from_common_slopes_model(
+        sample_rate=room.sample_rate,
+        rec_pos_list=np.asarray(room.receiver_position[:4], np.float32),
+        freq_bands=[500.0, 1000.0],
+        ir_len_samps=2048,
+        amplitudes=amps,
+        common_decay_times=np.ravel(room.common_decay_times)[: room.num_rooms],
+        seed=0,
+    )
+    cs = np.asarray(cs)
+    assert np.isfinite(cs).all()
+    # report peak magnitudes as the "losses" vector (finiteness is the test)
+    return [float(np.abs(rirs).max()), float(np.abs(td).max()),
+            float(np.abs(cs).max())]
+
+
 FAMILIES = {
     "var_receiver": smoke_var_receiver,
     "var_receiver_svf": smoke_var_receiver_svf,
@@ -286,6 +342,7 @@ FAMILIES = {
     "spatial": smoke_spatial,
     "spatial_cnn": smoke_spatial_cnn,
     "band_parallel": smoke_band_parallel,
+    "inference": smoke_inference,
 }
 
 
