@@ -78,9 +78,19 @@ def _cinv_fwd(m):
 
 def _cinv_bwd(p, g):
     # transpose of the JVP dP = -P dM P (JAX's linear-transpose convention
-    # for complex: plain transpose, no conjugation)
+    # for complex: plain transpose, no conjugation). On TPU the two batched
+    # tiny complex matmuls run as one fused Pallas pass (bins on lanes).
+    if p.ndim >= 3 and jax.default_backend() == "tpu":
+        from .pallas_cinv import neg_ptgpt_pallas
+
+        n = p.shape[-1]
+        out = neg_ptgpt_pallas(p.reshape(-1, n, n), g.reshape(-1, n, n))
+        return (out.reshape(p.shape),)
+    # explicit f32 precision: TPU's default matmul precision is bf16, which
+    # would put ~0.7% noise on every gradient through the inverse
     pt = jnp.swapaxes(p, -1, -2)
-    return (-(pt @ g @ pt),)
+    t = jnp.matmul(g, pt, precision=jax.lax.Precision.HIGHEST)
+    return (-jnp.matmul(pt, t, precision=jax.lax.Precision.HIGHEST),)
 
 
 cinv.defvjp(_cinv_fwd, _cinv_bwd)

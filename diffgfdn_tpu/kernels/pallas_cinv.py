@@ -140,3 +140,76 @@ def cinv_pallas(
     )(m_re, m_im)
     inv = (out_re[..., :k_bins] + 1j * out_im[..., :k_bins]).astype(jnp.complex64)
     return jnp.transpose(inv, (2, 0, 1))
+
+
+def _ptgpt_kernel(p_re, p_im, g_re, g_im, o_re, o_im, *, n: int):
+    """out = -(P^T g P^T) per bin, all operands (N, N, BK) in VMEM.
+
+    Two N-step contractions as elementwise FMAs across the 128-bin lane
+    axis — XLA lowers these batched tiny complex matmuls to MXU dots with
+    poor tiling; here they are pure VPU work in one HBM pass.
+    """
+    pr, pi = p_re[...], p_im[...]
+    gr, gi = g_re[...], g_im[...]
+    bk = pr.shape[-1]
+    # t[i, j] = sum_m g[i, m] p[j, m]   (= g @ P^T)
+    tr = jnp.zeros((n, n, bk), jnp.float32)
+    ti = jnp.zeros((n, n, bk), jnp.float32)
+    for m in range(n):
+        gr_m = gr[:, m, :][:, None, :]
+        gi_m = gi[:, m, :][:, None, :]
+        pr_m = pr[:, m, :][None, :, :]
+        pi_m = pi[:, m, :][None, :, :]
+        tr = tr + (gr_m * pr_m - gi_m * pi_m)
+        ti = ti + (gr_m * pi_m + gi_m * pr_m)
+    # out[i, j] = -sum_l p[l, i] t[l, j]   (= -P^T t)
+    our = jnp.zeros((n, n, bk), jnp.float32)
+    oui = jnp.zeros((n, n, bk), jnp.float32)
+    for l in range(n):
+        pr_l = pr[l][:, None, :]
+        pi_l = pi[l][:, None, :]
+        tr_l = tr[l][None, :, :]
+        ti_l = ti[l][None, :, :]
+        our = our - (pr_l * tr_l - pi_l * ti_l)
+        oui = oui - (pr_l * ti_l + pi_l * tr_l)
+    o_re[...] = our
+    o_im[...] = oui
+
+
+def neg_ptgpt_pallas(
+    p: jnp.ndarray,
+    g: jnp.ndarray,
+    bin_block: int = BIN_BLOCK,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Fused -(P^T g P^T) for batched (K, N, N) complex64 — the cinv VJP."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    k_bins, n, _ = p.shape
+    k_pad = int(np.ceil(k_bins / bin_block)) * bin_block
+
+    def to_lanes(x):
+        x = jnp.transpose(x, (1, 2, 0))
+        if k_pad != k_bins:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, k_pad - k_bins)))
+        return x
+
+    args = [
+        to_lanes(jnp.real(p)), to_lanes(jnp.imag(p)),
+        to_lanes(jnp.real(g)), to_lanes(jnp.imag(g)),
+    ]
+    grid = (k_pad // bin_block,)
+    spec = pl.BlockSpec((n, n, bin_block), lambda i: (0, 0, i))
+    o_re, o_im = pl.pallas_call(
+        functools.partial(_ptgpt_kernel, n=n),
+        grid=grid,
+        in_specs=[spec] * 4,
+        out_specs=(spec, spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, n, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n, n, k_pad), jnp.float32),
+        ),
+        interpret=interpret,
+    )(*args)
+    out = (o_re[..., :k_bins] + 1j * o_im[..., :k_bins]).astype(jnp.complex64)
+    return jnp.transpose(out, (2, 0, 1))

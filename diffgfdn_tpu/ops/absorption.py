@@ -14,7 +14,12 @@ import numpy as np
 
 from .basic import db2lin_np
 from .geq import design_geq
-from .prony import interpolate_magnitude_spectrum, prony_warped, tf2minphase
+from .prony import (
+    interpolate_magnitude_spectrum,
+    prony_warped,
+    stabilize_denominator,
+    tf2minphase,
+)
 
 
 def decay_times_to_gain_per_sample(common_decay_times, delay_length_samp, fs: float):
@@ -125,6 +130,10 @@ def decay_times_to_gain_filters_prony(
         )
         min_phase_ir = tf2minphase(interp, axis=0, is_even_fft=True, is_time_domain=True)
         b, a = prony_warped(min_phase_ir, fs, filter_order, filter_order)
+        # warped LS fits can park poles AND zeros on |z| = 1; either makes
+        # gamma(z) or 1/gamma(z) blow up at a frequency-sampling grid point
+        a = stabilize_denominator(a)
+        b = stabilize_denominator(b)
         out[i, :, 0] = b
         out[i, :, 1] = a
     return out

@@ -151,6 +151,24 @@ def allpass_warp_roots(
     return np.real(bw), np.real(aw)
 
 
+def stabilize_denominator(a: np.ndarray, max_radius: float = 0.98) -> np.ndarray:
+    """Clamp denominator pole radii to ``max_radius``.
+
+    Prony least-squares fits can place poles essentially ON the unit circle
+    (observed |den(z)| ~ 2e-8 at a frequency-sampling grid point), which
+    makes the frequency-sampled response an f32 rounding lottery and blows
+    up the loop-matrix inverse. Shrinking the radius keeps conjugate pairs
+    symmetric, so the polynomial stays real.
+    """
+    a = np.asarray(a, np.float64)
+    p = np.roots(a)
+    r = np.abs(p)
+    if np.all(r <= max_radius):
+        return a
+    p = np.where(r > max_radius, p * (max_radius / np.maximum(r, 1e-12)), p)
+    return np.real(np.poly(p)) * a[0]
+
+
 def prony_warped(
     h: np.ndarray, fs: float, nb: int, na: int, rho: Optional[float] = None
 ) -> Tuple[np.ndarray, np.ndarray]:

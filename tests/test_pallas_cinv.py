@@ -56,3 +56,20 @@ def test_pallas_cinv_odd_bin_count():
     inv = np.asarray(cinv_pallas(jnp.asarray(m), bin_block=128))
     assert inv.shape == (257, 4, 4)
     assert np.max(np.abs(inv @ m - np.eye(4)[None])) < 1e-3
+
+
+def test_neg_ptgpt_matches_xla():
+    """Fused VJP kernel == -(P^T g P^T) (interpret mode off-TPU)."""
+    import jax.numpy as jnp
+
+    from diffgfdn_tpu.kernels.pallas_cinv import neg_ptgpt_pallas
+
+    rng = np.random.RandomState(0)
+    for k, n in ((200, 4), (130, 12)):
+        p = (rng.randn(k, n, n) + 1j * rng.randn(k, n, n)).astype(np.complex64)
+        g = (rng.randn(k, n, n) + 1j * rng.randn(k, n, n)).astype(np.complex64)
+        out = np.asarray(neg_ptgpt_pallas(jnp.asarray(p), jnp.asarray(g)))
+        pt = np.swapaxes(p, -1, -2)
+        truth = -(pt @ g @ pt)
+        err = np.abs(out - truth).max() / np.abs(truth).max()
+        assert err < 1e-5, (k, n, err)
