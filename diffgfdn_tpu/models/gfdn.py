@@ -34,6 +34,11 @@ from ..kernels.linalg import cinv
 from ..ops.unitary import orthogonal_from_skew
 from .dnn import scaled_sigmoid
 from .feedback_loop import FeedbackLoop
+# TPU's default matmul precision is bf16; the response contractions are
+# load-bearing for EDC parity, so they pin full f32 (cost is negligible:
+# these matmuls are a tiny fraction of the step)
+_F32 = jax.lax.Precision.HIGHEST
+
 from .gain_heads import (
     expand_groups_to_delay_lines,
     GainsFromMLP,
@@ -153,7 +158,7 @@ class DiffGFDN(nn.Module):
         b = self.input_gains.reshape(g, nper).astype(jnp.complex64)
         # per-line: c_n * (P b)_n ... transposed contraction as in reference:
         # H_tmp[n, f] = c_n * sum_m P[f, n, m] b_m
-        pb = jnp.einsum("gfnm,gm->gnf", p, b)
+        pb = jnp.einsum("gfnm,gm->gnf", p, b, precision=_F32)
         h_per_del = c[:, :, None] * pb  # (G, Nper, F)
         hout = jnp.sum(h_per_del, axis=1).T  # (F, G)
         return hout, h_per_del
@@ -172,8 +177,8 @@ class DiffGFDN(nn.Module):
         ``c``/``b``: (batch, N, F) complex; returns (batch, F) complex.
         """
         p = self.feedback_loop(z)  # (F, N, N)
-        t = jnp.einsum("bnf,fnm->bmf", c, p)
-        h = jnp.einsum("bmf,bmf->bf", t, b)
+        t = jnp.einsum("bnf,fnm->bmf", c, p, precision=_F32)
+        h = jnp.einsum("bmf,bmf->bf", t, b, precision=_F32)
         if direct is not None:
             h = h + direct
         return h
@@ -206,9 +211,9 @@ class DiffGFDN(nn.Module):
         w = cw[None, :, None] * p * bw[None, None, :]
         s = w.reshape(f, g, nper, g, nper).sum(axis=(2, 4))  # (F, G, G)
         if b_group is None:
-            h = jnp.einsum("bgf,fg->bf", c_group, s.sum(axis=-1))
+            h = jnp.einsum("bgf,fg->bf", c_group, s.sum(axis=-1), precision=_F32)
         else:
-            h = jnp.einsum("bgf,fgh,bhf->bf", c_group, s, b_group)
+            h = jnp.einsum("bgf,fgh,bhf->bf", c_group, s, b_group, precision=_F32)
         if direct is not None:
             h = h + direct
         return h
@@ -233,7 +238,7 @@ class DiffGFDN(nn.Module):
         q = self.feedback_loop.drive(
             z, b_scalars, use_solve=self.inference_solve
         ).T  # (N, F)
-        h = c_scalars.astype(jnp.complex64) @ q  # (B, F)
+        h = jnp.matmul(c_scalars.astype(jnp.complex64), q, precision=_F32)  # (B, F)
         if direct is not None:
             h = h + direct
         return h
@@ -393,7 +398,9 @@ class DiffGFDNVarSourceReceiverPos(DiffGFDN):
             )
             p = self.feedback_loop(z)  # (F, N, N)
             w = jnp.einsum("bn,bm->bnm", c_s, b_s).reshape(batch, n * n)
-            h = w.astype(jnp.complex64) @ p.reshape(f, n * n).T
+            h = jnp.matmul(
+                w.astype(jnp.complex64), p.reshape(f, n * n).T, precision=_F32
+            )
             if direct is not None:
                 h = h + direct
         else:
@@ -555,7 +562,9 @@ class DiffDirectionalFDNVarReceiverPos(DiffGFDN):
             z, self.input_gains[:, 0], transpose=True,
             use_solve=self.inference_solve,
         ).T.reshape(g, nper, f)
-        h = jnp.einsum("bga,gaf->baf", weights.astype(jnp.complex64), q)
+        h = jnp.einsum(
+            "bga,gaf->baf", weights.astype(jnp.complex64), q, precision=_F32
+        )
         if self.use_colorless_loss:
             return h, self.sub_fdn_output(z)
         return h
@@ -566,4 +575,4 @@ class DiffDirectionalFDNVarReceiverPos(DiffGFDN):
         Reference: trainer.py:853-865.
         """
         a = np.asarray(self.analysis_matrix, np.float32)
-        return jnp.einsum("jl,blk->bjk", a, h_sh)
+        return jnp.einsum("jl,blk->bjk", a, h_sh, precision=_F32)
