@@ -52,7 +52,7 @@ class ColorlessFDN(nn.Module):
         p = self.feedback_loop(z)  # (F, N, N)
         c = self.output_gains[:, 0].astype(jnp.complex64)  # (N,)
         b = self.input_gains[:, 0].astype(jnp.complex64)
-        pb = jnp.einsum("fnm,m->nf", p, b)  # (N, F)
+        pb = jnp.einsum("fnm,m->nf", p, b, precision=jax.lax.Precision.HIGHEST)  # (N, F)
         h_per_del = c[:, None] * pb
         h = jnp.sum(h_per_del, axis=0)
         return h, h_per_del

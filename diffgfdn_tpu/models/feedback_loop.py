@@ -26,6 +26,9 @@ import numpy as np
 
 from ..config.schema import CouplingMatrixType
 from ..kernels.linalg import cinv
+
+# full-f32 contractions: TPU's default matmul precision is bf16
+_F32 = jax.lax.Precision.HIGHEST
 from ..ops.absorption import decay_times_to_gain_per_sample
 from ..ops.biquad import iir_frequency_response, sos_frequency_response
 from ..ops.unitary import fir_paraunitary, nd_unitary, orthogonal_from_skew
@@ -170,7 +173,7 @@ class FeedbackLoop(nn.Module):
         """Block matrix with blocks ortho(M_i) @ ortho(M_j), shape (N, N)."""
         o = orthogonal_from_skew(self.M)  # (G, Nper, Nper)
         nper = self.num_delay_lines_per_group
-        block = jnp.einsum("gab,hbc->gahc", o, o)
+        block = jnp.einsum("gab,hbc->gahc", o, o, precision=_F32)
         return block.reshape(self.num_delays, self.num_delays)
 
     def coupling_matrix(self) -> jnp.ndarray:
@@ -227,7 +230,9 @@ class FeedbackLoop(nn.Module):
             gamma_inv = (1.0 / self.gamma_scalar()).reshape(g, nper)
             ddecay = d_diag * gamma_inv[:, None, :]
         o = orthogonal_from_skew(self.M)  # (G, Nper, Nper)
-        a_blocks = jnp.einsum("gab,gbc->gac", o, o).astype(jnp.complex64)
+        a_blocks = jnp.einsum("gab,gbc->gac", o, o, precision=_F32).astype(
+            jnp.complex64
+        )
         eye = jnp.eye(nper, dtype=jnp.complex64)
         return (
             ddecay[..., None].astype(jnp.complex64) * eye[None, None]
@@ -251,7 +256,8 @@ class FeedbackLoop(nn.Module):
             order = a.shape[0]
             zinv_pow = (1.0 / z[:, None]) ** jnp.arange(order)[None, :]
             a_z = jnp.einsum(
-                "fo,onm->fnm", zinv_pow.astype(jnp.complex64), a.astype(jnp.complex64)
+                "fo,onm->fnm", zinv_pow.astype(jnp.complex64),
+                a.astype(jnp.complex64), precision=_F32,
             )
         else:
             a_z = a.astype(jnp.complex64)[None, :, :]
@@ -319,7 +325,7 @@ class FeedbackLoop(nn.Module):
                     self.loop_matrix_blocks(z).reshape(g * f, nper, nper)
                 ).reshape(g, f, nper, nper)
                 eq = "gfnm,gn->gfm" if transpose else "gfnm,gm->gfn"
-                q = jnp.einsum(eq, p_blocks, b_g)
+                q = jnp.einsum(eq, p_blocks, b_g, precision=_F32)
             return jnp.transpose(q, (1, 0, 2)).reshape(f, self.num_delays)
         if use_solve:
             from ..kernels.linalg import csolve1
@@ -330,4 +336,4 @@ class FeedbackLoop(nn.Module):
             return csolve1(m, b_c)
         p = self(z)
         eq = "fnm,n->fm" if transpose else "fnm,m->fn"
-        return jnp.einsum(eq, p, b_c)
+        return jnp.einsum(eq, p, b_c, precision=_F32)
