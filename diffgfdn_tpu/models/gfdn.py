@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config.schema import CouplingMatrixType, FeatureEncodingType
-from ..kernels.linalg import cinv
+
 from ..ops.unitary import orthogonal_from_skew
 from .dnn import scaled_sigmoid
 from .feedback_loop import FeedbackLoop
@@ -152,7 +152,10 @@ class DiffGFDN(nn.Module):
         d = z[None, :, None] ** delays[:, None, :]
         eye = jnp.eye(nper, dtype=jnp.complex64)
         m = d[..., None] * eye[None, None] - o.astype(jnp.complex64)[:, None]
-        p = cinv(m)
+        f = z.shape[0]
+        p = self.feedback_loop._inv(m.reshape(g * f, nper, nper)).reshape(
+            g, f, nper, nper
+        )
 
         c = self.output_gains.reshape(g, nper).astype(jnp.complex64)
         b = self.input_gains.reshape(g, nper).astype(jnp.complex64)
