@@ -113,3 +113,20 @@ def test_single_pos_svf_head_with_reg_loss(tmp_path):
     trainer, params = run_training_single_pos(cfg, rir_data=rir_data)
     assert np.isfinite(trainer.train_loss).all()
     assert "output_svf_params" in params["params"]
+
+
+def test_flops_cost_models():
+    """Cost models match the reference notebook's closed forms (BASELINE.md)."""
+    from diffgfdn_tpu.utils.flops import (
+        conv_flops,
+        dir_gfdn_flops,
+        gfdn_flops,
+        mlp_flops,
+    )
+
+    assert gfdn_flops(12, 8) == 2 * 144 + 12 + 27 * 12 * 8 + 1
+    assert gfdn_flops(12, 8, is_parallel=True) == 8 * (2 * 144 + 48 + 1)
+    assert mlp_flops(3, 128, 60) == 3 * (2 * 128 * 128 + 128) + 60 * (257)
+    # directional GFDN beats partitioned convolution of a 9-ch 2 s SRIR
+    # (the reference's headline deployment comparison)
+    assert dir_gfdn_flops(2, 3, 8, 12) < conv_flops(9, 2000.0, 512)
