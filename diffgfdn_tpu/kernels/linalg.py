@@ -78,19 +78,30 @@ def _cinv_fwd(m):
 
 def _cinv_bwd(p, g):
     # transpose of the JVP dP = -P dM P (JAX's linear-transpose convention
-    # for complex: plain transpose, no conjugation). On TPU the two batched
-    # tiny complex matmuls run as one fused Pallas pass (bins on lanes).
-    if p.ndim >= 3 and jax.default_backend() == "tpu":
-        from .pallas_cinv import neg_ptgpt_pallas
-
-        n = p.shape[-1]
-        out = neg_ptgpt_pallas(p.reshape(-1, n, n), g.reshape(-1, n, n))
-        return (out.reshape(p.shape),)
+    # for complex: plain transpose, no conjugation).
     # explicit f32 precision: TPU's default matmul precision is bf16, which
     # would put ~0.7% noise on every gradient through the inverse
     pt = jnp.swapaxes(p, -1, -2)
     t = jnp.matmul(g, pt, precision=jax.lax.Precision.HIGHEST)
     return (-jnp.matmul(pt, t, precision=jax.lax.Precision.HIGHEST),)
+
+
+def _cinv_bwd_pallas(p, g):
+    """Fused-Pallas -(P^T g P^T): one HBM pass, full f32.
+
+    Paired ONLY with a Pallas forward (cinv_with(..., pallas_bwd=True)):
+    if the forward kernel compiled for the executing device, the backward
+    kernel will too — the pairing avoids any process-global backend check
+    (jax.default_backend() lies when computation is placed on CPU devices
+    of a process whose default platform is a TPU). XLA lowers these batched
+    tiny complex matmuls to bf16 MXU dots; the fused kernel measured ~3x
+    faster end-to-end on the flagship train step (21.5 -> 7.4 ms).
+    """
+    from .pallas_cinv import neg_ptgpt_pallas
+
+    n = p.shape[-1]
+    out = neg_ptgpt_pallas(p.reshape(-1, n, n), g.reshape(-1, n, n))
+    return (out.reshape(p.shape),)
 
 
 cinv.defvjp(_cinv_fwd, _cinv_bwd)
@@ -109,21 +120,12 @@ def csolve(m: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 def _solve1_impl(m: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Single-RHS Gauss-Jordan solve: (..., N, N) x (..., N) -> (..., N).
 
-    On TPU this runs as the fused Pallas inverse plus one f32 matvec —
-    measured faster than any augmented-column elimination, and the Pallas
-    elimination touches HBM once. Off-TPU: augmented Gauss-Jordan with the
-    RHS padded to 4 columns so the augmented width N+4 keeps a friendly
-    (multiple-of-8) sublane layout (width 13 measured ~40x slower than 16).
+    The RHS is padded to 4 columns so the augmented width N+4 keeps a
+    friendly (multiple-of-8) sublane layout on TPU (a width-13 augmented
+    system measured ~40x slower than width-16). TPU callers should prefer
+    :func:`csolve1_pallas` (fused Pallas inverse + f32 matvec).
     """
     n = m.shape[-1]
-    if m.ndim >= 3 and jax.default_backend() == "tpu":
-        from .pallas_cinv import cinv_pallas
-
-        p = cinv_pallas(m.reshape(-1, n, n)).reshape(m.shape)
-        bc = jnp.broadcast_to(b.astype(m.dtype), m.shape[:-1])
-        return jnp.einsum(
-            "...nm,...m->...n", p, bc, precision=jax.lax.Precision.HIGHEST
-        )
     rhs = jnp.broadcast_to(b.astype(m.dtype), m.shape[:-1])[..., None]
     pad = jnp.zeros(m.shape[:-1] + (3,), m.dtype)
     aug = jnp.concatenate([m, rhs, pad], axis=-1)
@@ -163,11 +165,12 @@ def _csolve1_bwd(res, g):
 csolve1.defvjp(_csolve1_fwd, _csolve1_bwd)
 
 
-def cinv_with(impl) -> "callable":
-    """Wrap an inverse implementation with the analytic VJP above.
+def cinv_with(impl, pallas_bwd: bool = False) -> "callable":
+    """Wrap an inverse implementation with the analytic VJP.
 
-    Used to pair the fused Pallas forward (kernels.pallas_cinv) with the
-    two-matmul backward.
+    ``pallas_bwd=True`` pairs a Pallas forward with the fused Pallas
+    backward kernel (valid exactly where the forward is — see
+    :func:`_cinv_bwd_pallas`).
     """
 
     @jax.custom_vjp
@@ -178,5 +181,40 @@ def cinv_with(impl) -> "callable":
         p = impl(m)
         return p, p
 
-    inv.defvjp(fwd, _cinv_bwd)
+    inv.defvjp(fwd, _cinv_bwd_pallas if pallas_bwd else _cinv_bwd)
     return inv
+
+
+@jax.custom_vjp
+def csolve1_pallas(m: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """x = M^-1 b via the fused Pallas inverse + f32 matvec (TPU only).
+
+    Same contract as :func:`csolve1`; only valid where the Pallas kernels
+    compile (pair it with a Pallas forward path, never select it by
+    ``jax.default_backend()`` — that lies for CPU-placed computations).
+    """
+    return _csolve1_pallas_fwd(m, b)[0]
+
+
+def _csolve1_pallas_fwd(m, b):
+    from .pallas_cinv import cinv_pallas
+
+    n = m.shape[-1]
+    p = cinv_pallas(m.reshape(-1, n, n)).reshape(m.shape)
+    bc = jnp.broadcast_to(b.astype(m.dtype), m.shape[:-1])
+    x = jnp.einsum("...nm,...m->...n", p, bc, precision=jax.lax.Precision.HIGHEST)
+    return x, (p, x, b.shape)
+
+
+def _csolve1_pallas_bwd(res, g):
+    p, x, b_shape = res
+    # y = M^-T g = P^T g; dm = -y x^T; db = sum-over-broadcast(y)
+    y = jnp.einsum("...mn,...m->...n", p, g, precision=jax.lax.Precision.HIGHEST)
+    dm = -(y[..., :, None] * x[..., None, :])
+    db = y
+    while db.ndim > len(b_shape):
+        db = jnp.sum(db, axis=0)
+    return dm, db
+
+
+csolve1_pallas.defvjp(_csolve1_pallas_fwd, _csolve1_pallas_bwd)

@@ -288,8 +288,18 @@ class FeedbackLoop(nn.Module):
             from ..kernels.linalg import cinv_with
             from ..kernels.pallas_cinv import cinv_pallas
 
-            return cinv_with(cinv_pallas)(m)
+            return cinv_with(cinv_pallas, pallas_bwd=True)(m)
         return cinv(m)
+
+    def _solve1(self, m: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        """Single-RHS solve via the selected implementation."""
+        if self._pallas_inverse():
+            from ..kernels.linalg import csolve1_pallas
+
+            return csolve1_pallas(m, b)
+        from ..kernels.linalg import csolve1
+
+        return csolve1(m, b)
 
     def drive(
         self,
@@ -314,12 +324,12 @@ class FeedbackLoop(nn.Module):
             f = z.shape[0]
             b_g = b_c.reshape(g, nper)
             if use_solve:
-                from ..kernels.linalg import csolve1
-
                 m = self.loop_matrix_blocks(z)
                 if transpose:
                     m = jnp.swapaxes(m, -1, -2)
-                q = csolve1(m, jnp.broadcast_to(b_g[:, None, :], (g, f, nper)))
+                q = self._solve1(
+                    m, jnp.broadcast_to(b_g[:, None, :], (g, f, nper))
+                )
             else:
                 p_blocks = self._inv(
                     self.loop_matrix_blocks(z).reshape(g * f, nper, nper)
@@ -328,12 +338,10 @@ class FeedbackLoop(nn.Module):
                 q = jnp.einsum(eq, p_blocks, b_g, precision=_F32)
             return jnp.transpose(q, (1, 0, 2)).reshape(f, self.num_delays)
         if use_solve:
-            from ..kernels.linalg import csolve1
-
             m = self.loop_matrix(z)
             if transpose:
                 m = jnp.swapaxes(m, -1, -2)
-            return csolve1(m, b_c)
+            return self._solve1(m, b_c)
         p = self(z)
         eq = "fnm,n->fm" if transpose else "fnm,m->fn"
         return jnp.einsum(eq, p, b_c, precision=_F32)

@@ -73,3 +73,32 @@ def test_neg_ptgpt_matches_xla():
         truth = -(pt @ g @ pt)
         err = np.abs(out - truth).max() / np.abs(truth).max()
         assert err < 1e-5, (k, n, err)
+
+
+def test_csolve1_pallas_matches_gj_and_grads():
+    """Pallas solve (fwd + custom VJP) == the Gauss-Jordan csolve1."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffgfdn_tpu.kernels.linalg import csolve1, csolve1_pallas
+
+    rng = np.random.RandomState(1)
+    k, n = 90, 6
+    m = (rng.randn(k, n, n) + 1j * rng.randn(k, n, n)).astype(np.complex64)
+    m += 4 * np.eye(n, dtype=np.complex64)
+    b = (rng.randn(n) + 1j * rng.randn(n)).astype(np.complex64)
+
+    x1 = np.asarray(csolve1_pallas(jnp.asarray(m), jnp.asarray(b)))
+    x2 = np.asarray(csolve1(jnp.asarray(m), jnp.asarray(b)))
+    np.testing.assert_allclose(x1, x2, rtol=2e-4, atol=1e-5)
+
+    mr, mi = np.real(m).copy(), np.imag(m).copy()
+
+    def loss(fn, mr, mi):
+        mm = (mr + 1j * mi).astype(jnp.complex64)
+        return jnp.sum(jnp.abs(fn(mm, jnp.asarray(b))) ** 2)
+
+    g1 = jax.grad(lambda a, c: loss(csolve1_pallas, a, c), argnums=(0, 1))(mr, mi)
+    g2 = jax.grad(lambda a, c: loss(csolve1, a, c), argnums=(0, 1))(mr, mi)
+    for a, c in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=2e-3, atol=1e-4)
