@@ -13,7 +13,7 @@ simultaneously in ONE program on a (band x batch) device mesh
 import argparse
 import logging
 from pathlib import Path
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

@@ -10,7 +10,7 @@ a numpy-side iterator producing dicts of equal-shape arrays:
 """
 
 from dataclasses import dataclass
-from typing import Dict, Iterator, List, Optional, Tuple
+from typing import Dict, Iterator, Optional, Tuple
 
 import numpy as np
 

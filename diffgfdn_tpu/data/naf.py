@@ -7,7 +7,7 @@ legacy module paths.
 
 import pickle
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, Optional
 
 import numpy as np
 

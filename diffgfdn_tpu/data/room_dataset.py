@@ -7,9 +7,9 @@ dataloader.py:76-509 (RIRData / RoomDataset / ThreeRoomDataset).
 
 import os
 import pickle
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
-from typing import List, Optional, Sequence, Tuple, Union
+from typing import List, Optional, Tuple, Union
 
 import numpy as np
 from scipy.fft import rfft, rfftfreq

@@ -16,8 +16,6 @@ import numpy as np
 from ..ops.basic import LOG10E6
 from .room_dataset import (
     RoomDataset,
-    THREE_ROOM_ABSORPTION,
-    THREE_ROOM_APERTURES,
     THREE_ROOM_DIMS,
     THREE_ROOM_START,
     ThreeRoomDataset,

@@ -11,8 +11,7 @@ program (inputs re/im-encoded, output is the real RIR).
 """
 
 import logging
-from pathlib import Path
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ Host-side numpy throughout: this is streaming playback tooling, not a
 training path; the per-hop BRIR math is small.
 """
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 from scipy.signal import fftconvolve, lfilter

@@ -13,7 +13,7 @@ readable by this module and by h5py-based tooling.
 
 import logging
 from pathlib import Path
-from typing import Optional, Tuple, Union
+from typing import Tuple, Union
 
 import numpy as np
 from scipy.signal import resample_poly

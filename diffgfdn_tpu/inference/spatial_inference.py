@@ -9,17 +9,12 @@ import copy
 import logging
 import pickle
 from pathlib import Path
-from typing import Dict, List, Optional
+from typing import List, Optional
 
-import jax
 import numpy as np
 
 from ..config.schema import SpatialSamplingConfig
-from ..data.batching import gather_batch
-from ..data.spatial_dataset import (
-    arrays_from_spatial_dataset,
-    SpatialRoomDataset,
-)
+from ..data.spatial_dataset import SpatialRoomDataset
 from ..training.checkpoints import load_latest_checkpoint
 from ..training.spatial_trainer import (
     build_spatial_model,

@@ -4,7 +4,6 @@ Reference behaviour: spatial_sampling/losses.py:12-168 as pure functions;
 the smoothness kernel is precomputed host-side once per dataset.
 """
 
-from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

@@ -6,7 +6,7 @@ nominal broadband T60; trained so |H| ~ 1 at every bin
 matrix warm-start the per-group sub-FDNs of a DiffGFDN.
 """
 
-from typing import Dict, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -5,7 +5,7 @@ Functional parity with the reference's dnn.py (constraints :13-83, encodings
 modules with vectorized (loop-free) encodings.
 """
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

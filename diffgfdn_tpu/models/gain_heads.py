@@ -7,7 +7,7 @@ and evaluated at all z points in one batched closed form
 (:func:`diffgfdn_tpu.ops.biquad.svf_to_biquad`).
 """
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

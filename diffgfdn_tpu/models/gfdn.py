@@ -32,7 +32,6 @@ import numpy as np
 from ..config.schema import CouplingMatrixType, FeatureEncodingType
 
 from ..ops.unitary import orthogonal_from_skew
-from .dnn import scaled_sigmoid
 from .feedback_loop import FeedbackLoop
 # TPU's default matmul precision is bf16; the response contractions are
 # load-bearing for EDC parity, so they pin full f32 (cost is negligible:
@@ -46,7 +45,7 @@ from .gain_heads import (
     svf_params_to_response,
     SVFFromMLP,
 )
-from .spatial import directional_amplitudes, DirectionalBeamformerWeightsMLP
+from .spatial import DirectionalBeamformerWeightsMLP
 
 
 def _io_gain_init(num_delay_lines: int):

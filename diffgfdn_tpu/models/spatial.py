@@ -18,7 +18,6 @@ from .dnn import (
     ConvNet,
     MLP,
     MLPSkipConnections,
-    one_hot_mesh_encoding,
     scaled_sigmoid,
     sigmoid,
     SinusoidalEncoding,

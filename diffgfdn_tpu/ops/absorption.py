@@ -7,7 +7,7 @@ Reference semantics: src/diff_gfdn/absorption_filters.py:12-155.
 * the GEQ and Prony filter fits are host-side init-time numpy.
 """
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -15,7 +15,7 @@ Also provides the time-reversed FIR filterbank used for subband resynthesis
 (reference: utils.py:361-469).
 """
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 from scipy.fft import irfft, rfft, rfftfreq

@@ -11,7 +11,7 @@ from typing import Optional, Tuple
 import numpy as np
 from scipy.fft import fft, ifft, irfft, rfftfreq
 from scipy.interpolate import interp1d, splev, splrep
-from scipy.linalg import solve, toeplitz
+from scipy.linalg import toeplitz
 from scipy.signal import hilbert, tf2zpk, zpk2tf
 
 from .basic import db2lin_np, db_np

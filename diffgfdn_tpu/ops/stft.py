@@ -6,7 +6,6 @@ in dB). The per-frame python loop of the reference's ``get_edr_from_stft``
 becomes a flip-cumsum-flip.
 """
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax.numpy as jnp

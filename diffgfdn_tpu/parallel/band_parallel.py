@@ -8,19 +8,18 @@ subband filter response rides along as a banded constant. Gradients never
 cross bands; the only collectives are GSPMD's data-parallel reductions.
 """
 
-from functools import partial
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from ..config.schema import TrainerConfig
 from ..losses import edc_loss, edr_loss
 from ..ops.basic import ms_to_samps
-from ..utils.cio import decode_batch, encode_batch, init_with_batch
+from ..utils.cio import decode_batch, encode_batch
 from .mesh import band_sharding, batch_sharding, make_mesh, replicated
 
 

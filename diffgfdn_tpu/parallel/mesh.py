@@ -8,7 +8,7 @@ Two mesh axes (SURVEY.md §2.7 / §5.8):
   become XLA ``psum``s inserted by GSPMD.
 """
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

@@ -6,7 +6,7 @@ unit-circle bins; valid loss adds the per-delay-line spectral term.
 
 import logging
 import time
-from typing import Dict, List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ from typing import Dict, List, Optional
 import numpy as np
 from scipy.io import savemat
 
-from ..ops.unitary import nd_unitary, orthogonal_from_skew
+from ..ops.unitary import orthogonal_from_skew
 
 
 def gfdn_param_dict(model, params) -> Dict:
@@ -48,7 +48,6 @@ def gfdn_param_dict(model, params) -> Dict:
 
 
 def _coupled_matrix(model, params):
-    from ..models.feedback_loop import FeedbackLoop
 
     def fn(mdl):
         return mdl.feedback_loop.coupled_feedback_matrix()

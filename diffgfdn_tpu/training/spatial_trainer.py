@@ -24,7 +24,7 @@ from ..data.spatial_dataset import (
     SpatialRoomDataset,
     split_by_grid_resolution,
 )
-from ..data.batching import gather_batch, iterate_batches
+from ..data.batching import iterate_batches
 from ..losses.spatial import (
     find_position_idx,
     make_decay_envelopes,
@@ -38,7 +38,6 @@ from ..models.spatial import (
     directional_amplitudes,
     DirectionalBeamformerWeightsCNN,
     DirectionalBeamformerWeightsMLP,
-    normalise_weights,
     OmniAmplitudesMLP,
 )
 from .checkpoints import save_checkpoint

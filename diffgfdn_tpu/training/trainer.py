@@ -14,8 +14,7 @@ pure functions:
 
 import logging
 import time
-from functools import partial
-from typing import Callable, Dict, Iterable, List, Optional, Tuple
+from typing import Callable, Dict, Iterable, List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ These are per-sample serial-renderer costs (the deployment question:
 "can this run in an audio callback?"), not TPU training costs.
 """
 
-from typing import Optional
 
 
 def gfdn_flops(
