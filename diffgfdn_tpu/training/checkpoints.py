@@ -69,8 +69,20 @@ def load_latest_checkpoint(
     train_dir, max_epoch: int
 ) -> Optional[Any]:
     """Walk epochs backwards until a checkpoint loads; None if none exist."""
+    found = load_latest_checkpoint_with_epoch(train_dir, max_epoch)
+    return None if found is None else found[0]
+
+
+def load_latest_checkpoint_with_epoch(
+    train_dir, max_epoch: int
+) -> Optional[tuple]:
+    """(params, epoch) of the newest checkpoint, or None.
+
+    Epoch -1 is the saved initialization; the reference's inference code
+    walks epochs backwards the same way (inference.py:410-428).
+    """
     for e in range(max_epoch, -2, -1):
         path = checkpoint_path(train_dir, e)
         if path.exists():
-            return load_checkpoint(train_dir, e)
+            return load_checkpoint(train_dir, e), e
     return None

@@ -306,8 +306,27 @@ class GFDNTrainer:
         train_idx: np.ndarray,
         valid_idx: np.ndarray,
         seed: int = 0,
+        resume: bool = False,
     ):
-        """Epoch loop over device-resident data (on-device batch gathers)."""
+        """Epoch loop over device-resident data (on-device batch gathers).
+
+        ``resume=True`` restarts from the newest checkpoint in
+        ``cfg.train_dir`` (an interrupted run continues at the next epoch;
+        the reference never resumes mid-training — its inference merely
+        walks checkpoints backwards, inference.py:410-428).
+        """
+        start_epoch = 0
+        if resume:
+            from .checkpoints import load_latest_checkpoint_with_epoch
+
+            found = load_latest_checkpoint_with_epoch(
+                self.cfg.train_dir, self.cfg.max_epochs - 1
+            )
+            if found is not None:
+                ckpt, last_epoch = found
+                params = jax.tree_util.tree_map(jnp.asarray, ckpt)
+                start_epoch = last_epoch + 1
+                logger.info("resuming from epoch %d", start_epoch)
         self.optimizer = make_optimizer(self.cfg, params, self.steps_per_epoch)
         opt_state = self.optimizer.init(params)
         key = jax.random.PRNGKey(seed)
@@ -320,12 +339,18 @@ class GFDNTrainer:
         normalize = jax.jit(
             lambda p, d: self._normalize_params_from_data(p, d)
         )
-        save_checkpoint(self.cfg.train_dir, -1, params)
+        if start_epoch == 0:
+            save_checkpoint(self.cfg.train_dir, -1, params)
         normalize_per_step = not getattr(self.model, "use_svf_in_output", False)
 
         rng = np.random.RandomState(seed)
+        # replay the permutation stream so a resumed run sees the same
+        # batch order it would have seen uninterrupted (the PRNG key only
+        # drives the optional EDC mask and need not replay exactly)
+        for _ in range(start_epoch):
+            rng.permutation(len(train_idx))
         start = time.time()
-        for epoch in range(self.cfg.max_epochs):
+        for epoch in range(start_epoch, self.cfg.max_epochs):
             ep_start = time.time()
             perm = train_idx[rng.permutation(len(train_idx))]
             # losses accumulate ON DEVICE: fetching a scalar every step costs

@@ -143,3 +143,33 @@ def test_single_pos_training(tmp_path, room):
     trainer, params = run_training_single_pos(cfg, rir_data=rir_data)
     assert len(trainer.train_loss) == 2
     assert np.isfinite(trainer.train_loss).all()
+
+
+def test_fit_indexed_resume(tmp_path, room):
+    """An interrupted run resumes from the newest checkpoint."""
+    from diffgfdn_tpu.training.solver import run_training_var_receiver_pos
+
+    cfg = small_config(tmp_path, max_epochs=2)
+    trainer, params = run_training_var_receiver_pos(cfg, room_data=room)
+    assert len(trainer.train_loss) == 2
+
+    # "interrupt": rerun with a larger epoch budget and resume=True — only
+    # the remaining epochs run
+    from diffgfdn_tpu.data.batching import (
+        arrays_from_room_dataset,
+        train_valid_split,
+    )
+    from diffgfdn_tpu.training.checkpoints import load_checkpoint
+
+    cfg.trainer_config.max_epochs = 4
+    arrays = arrays_from_room_dataset(room)
+    train_idx, valid_idx = train_valid_split(
+        np.arange(arrays.num_items), 0.8, seed=cfg.seed
+    )
+    params2 = trainer.fit_indexed(
+        params, arrays, train_idx, valid_idx, seed=cfg.seed, resume=True
+    )
+    # resumed run appends epochs 2 and 3 (checkpoints exist for them)
+    assert (tmp_path / "train" / "checkpoints" / "model_e3.ckpt").exists() or (
+        load_checkpoint(cfg.trainer_config.train_dir, 3) is not None
+    )
