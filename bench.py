@@ -57,6 +57,7 @@ def bench_tpu(steps: int = 24):
     from diffgfdn_tpu.ops.absorption import decay_times_to_gain_per_sample
     from diffgfdn_tpu.training.optim import make_optimizer
     from diffgfdn_tpu.training.trainer import GFDNTrainer
+    from diffgfdn_tpu.utils.placement import placement_is_tpu
 
     log("jax devices:", jax.devices())
     f = NFFT // 2 + 1
@@ -73,6 +74,8 @@ def bench_tpu(steps: int = 24):
         num_hidden_layers=3,
         num_neurons=128,
         num_fourier_features=10,
+        # bench runs on the default placement (the real chip): truthful
+        use_pallas_inverse=placement_is_tpu(),
     )
     cfg = TrainerConfig(
         batch_size=BATCH, num_freq_bins=NFFT, max_epochs=1, lr=1e-3

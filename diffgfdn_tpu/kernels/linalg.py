@@ -16,6 +16,8 @@ Complex arithmetic stays native complex64 inside the program (the jit
 boundary carries re/im pairs — see diffgfdn_tpu.utils.cio).
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -86,22 +88,29 @@ def _cinv_bwd(p, g):
     return (-jnp.matmul(pt, t, precision=jax.lax.Precision.HIGHEST),)
 
 
-def _cinv_bwd_pallas(p, g):
+def _make_cinv_bwd_pallas(interpret: bool):
     """Fused-Pallas -(P^T g P^T): one HBM pass, full f32.
 
-    Paired ONLY with a Pallas forward (cinv_with(..., pallas_bwd=True)):
-    if the forward kernel compiled for the executing device, the backward
-    kernel will too — the pairing avoids any process-global backend check
-    (jax.default_backend() lies when computation is placed on CPU devices
-    of a process whose default platform is a TPU). XLA lowers these batched
-    tiny complex matmuls to bf16 MXU dots; the fused kernel measured ~3x
-    faster end-to-end on the flagship train step (21.5 -> 7.4 ms).
+    Paired ONLY with a Pallas forward (cinv_with(..., pallas_bwd=True)),
+    in the SAME interpret mode: if the forward kernel runs on the
+    executing device, the backward kernel will too — the pairing avoids
+    any process-global backend check (jax.default_backend() lies when
+    computation is placed on CPU devices of a process whose default
+    platform is a TPU). XLA lowers these batched tiny complex matmuls to
+    bf16 MXU dots; the fused kernel measured ~3x faster end-to-end on the
+    flagship train step (21.5 -> 7.4 ms).
     """
-    from .pallas_cinv import neg_ptgpt_pallas
 
-    n = p.shape[-1]
-    out = neg_ptgpt_pallas(p.reshape(-1, n, n), g.reshape(-1, n, n))
-    return (out.reshape(p.shape),)
+    def bwd(p, g):
+        from .pallas_cinv import neg_ptgpt_pallas
+
+        n = p.shape[-1]
+        out = neg_ptgpt_pallas(
+            p.reshape(-1, n, n), g.reshape(-1, n, n), interpret=interpret
+        )
+        return (out.reshape(p.shape),)
+
+    return bwd
 
 
 cinv.defvjp(_cinv_fwd, _cinv_bwd)
@@ -165,12 +174,14 @@ def _csolve1_bwd(res, g):
 csolve1.defvjp(_csolve1_fwd, _csolve1_bwd)
 
 
-def cinv_with(impl, pallas_bwd: bool = False) -> "callable":
+def cinv_with(
+    impl, pallas_bwd: bool = False, interpret: bool = True
+) -> "callable":
     """Wrap an inverse implementation with the analytic VJP.
 
     ``pallas_bwd=True`` pairs a Pallas forward with the fused Pallas
-    backward kernel (valid exactly where the forward is — see
-    :func:`_cinv_bwd_pallas`).
+    backward kernel in the given ``interpret`` mode (valid exactly where
+    the forward is — see :func:`_make_cinv_bwd_pallas`).
     """
 
     @jax.custom_vjp
@@ -181,40 +192,54 @@ def cinv_with(impl, pallas_bwd: bool = False) -> "callable":
         p = impl(m)
         return p, p
 
-    inv.defvjp(fwd, _cinv_bwd_pallas if pallas_bwd else _cinv_bwd)
+    inv.defvjp(fwd, _make_cinv_bwd_pallas(interpret) if pallas_bwd else _cinv_bwd)
     return inv
 
 
-@jax.custom_vjp
-def csolve1_pallas(m: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """x = M^-1 b via the fused Pallas inverse + f32 matvec (TPU only).
+@functools.lru_cache(maxsize=None)
+def _csolve1_pallas_for(interpret: bool):
+    """custom-vjp'd Pallas solve specialized to an interpret mode."""
 
-    Same contract as :func:`csolve1`; only valid where the Pallas kernels
-    compile (pair it with a Pallas forward path, never select it by
+    def fwd_impl(m, b):
+        from .pallas_cinv import cinv_pallas
+
+        n = m.shape[-1]
+        p = cinv_pallas(m.reshape(-1, n, n), interpret=interpret).reshape(
+            m.shape
+        )
+        bc = jnp.broadcast_to(b.astype(m.dtype), m.shape[:-1])
+        x = jnp.einsum(
+            "...nm,...m->...n", p, bc, precision=jax.lax.Precision.HIGHEST
+        )
+        return x, (p, x, b.shape)
+
+    @jax.custom_vjp
+    def solve(m, b):
+        return fwd_impl(m, b)[0]
+
+    def bwd(res, g):
+        p, x, b_shape = res
+        # y = M^-T g = P^T g; dm = -y x^T; db = sum-over-broadcast(y)
+        y = jnp.einsum(
+            "...mn,...m->...n", p, g, precision=jax.lax.Precision.HIGHEST
+        )
+        dm = -(y[..., :, None] * x[..., None, :])
+        db = y
+        while db.ndim > len(b_shape):
+            db = jnp.sum(db, axis=0)
+        return dm, db
+
+    solve.defvjp(fwd_impl, bwd)
+    return solve
+
+
+def csolve1_pallas(
+    m: jnp.ndarray, b: jnp.ndarray, interpret: bool = True
+) -> jnp.ndarray:
+    """x = M^-1 b via the fused Pallas inverse + f32 matvec.
+
+    Same contract as :func:`csolve1`. ``interpret=False`` is a TPU-placement
+    assertion by the caller (never resolve it from
     ``jax.default_backend()`` — that lies for CPU-placed computations).
     """
-    return _csolve1_pallas_fwd(m, b)[0]
-
-
-def _csolve1_pallas_fwd(m, b):
-    from .pallas_cinv import cinv_pallas
-
-    n = m.shape[-1]
-    p = cinv_pallas(m.reshape(-1, n, n)).reshape(m.shape)
-    bc = jnp.broadcast_to(b.astype(m.dtype), m.shape[:-1])
-    x = jnp.einsum("...nm,...m->...n", p, bc, precision=jax.lax.Precision.HIGHEST)
-    return x, (p, x, b.shape)
-
-
-def _csolve1_pallas_bwd(res, g):
-    p, x, b_shape = res
-    # y = M^-T g = P^T g; dm = -y x^T; db = sum-over-broadcast(y)
-    y = jnp.einsum("...mn,...m->...n", p, g, precision=jax.lax.Precision.HIGHEST)
-    dm = -(y[..., :, None] * x[..., None, :])
-    db = y
-    while db.ndim > len(b_shape):
-        db = jnp.sum(db, axis=0)
-    return dm, db
-
-
-csolve1_pallas.defvjp(_csolve1_pallas_fwd, _csolve1_pallas_bwd)
+    return _csolve1_pallas_for(interpret)(m, b)

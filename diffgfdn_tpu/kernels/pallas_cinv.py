@@ -12,12 +12,14 @@ in a single VMEM-resident pass per block:
 * complex arithmetic as separate re/im f32 planes (Mosaic-friendly);
 * partial pivoting per bin via a sublane argmax + select (no gathers).
 
-Falls back to interpret mode off-TPU. The custom VJP (two batched matmuls)
-is shared with the XLA path.
+``interpret`` defaults to True (the portable interpreter, correct on any
+backend). Call sites that KNOW their computation is placed on TPU pass
+``interpret=False`` for the compiled kernel — placement is the caller's
+knowledge; it must never be inferred from ``jax.default_backend()``, which
+lies for computation placed off the process-default platform.
 """
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -100,15 +102,14 @@ def _gj_kernel(m_re_ref, m_im_ref, out_re_ref, out_im_ref, aug_re, aug_im, *, n:
 def cinv_pallas(
     m: jnp.ndarray,
     bin_block: int = BIN_BLOCK,
-    interpret: Optional[bool] = None,
+    interpret: bool = True,
 ) -> jnp.ndarray:
     """Fused batched complex inverse: (K, N, N) complex64 -> same.
 
     Forward only — wrap with the custom VJP via
     :func:`diffgfdn_tpu.kernels.linalg.cinv_with` for training.
+    ``interpret=False`` requires TPU placement (see module docstring).
     """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
     k_bins, n, _ = m.shape
     k_pad = int(np.ceil(k_bins / bin_block)) * bin_block
 
@@ -180,11 +181,12 @@ def neg_ptgpt_pallas(
     p: jnp.ndarray,
     g: jnp.ndarray,
     bin_block: int = BIN_BLOCK,
-    interpret: Optional[bool] = None,
+    interpret: bool = True,
 ) -> jnp.ndarray:
-    """Fused -(P^T g P^T) for batched (K, N, N) complex64 — the cinv VJP."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+    """Fused -(P^T g P^T) for batched (K, N, N) complex64 — the cinv VJP.
+
+    ``interpret=False`` requires TPU placement (see module docstring).
+    """
     k_bins, n, _ = p.shape
     k_pad = int(np.ceil(k_bins / bin_block)) * bin_block
 

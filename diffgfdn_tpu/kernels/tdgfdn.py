@@ -30,7 +30,7 @@ output-gain vectors.
 """
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -167,12 +167,15 @@ def delay_line_outputs_pallas(
     feedback_matrix: jnp.ndarray,
     input_gains: jnp.ndarray,
     input_signal: jnp.ndarray,
-    interpret: Optional[bool] = None,
+    interpret: bool = True,
 ) -> jnp.ndarray:
     """Pallas variant of :func:`delay_line_outputs`.
 
     The whole x-history and Y output live in VMEM for the entire run —
     one kernel launch, no HBM roundtrips between blocks.
+    ``interpret=False`` is a TPU-placement assertion by the caller (never
+    resolve it from ``jax.default_backend()``, which lies for CPU-placed
+    computation in a TPU-registered process).
     """
     n = len(delays)
     t_len = input_signal.shape[0]
@@ -183,10 +186,6 @@ def delay_line_outputs_pallas(
 
     u = jnp.zeros((1, t_pad), jnp.float32).at[0, :t_len].set(input_signal)
     offsets = np.asarray([m_max - d for d in delays], np.int32)
-
-    if interpret is None:
-        # interpret mode on CPU (pallas compiles only on TPU here)
-        interpret = jax.default_backend() == "cpu"
 
     kernel = functools.partial(
         _tdgfdn_kernel,
@@ -224,9 +223,17 @@ def synthesize_rirs_time_domain(
     output_gains: jnp.ndarray,
     num_samples: int,
     use_pallas: bool = False,
+    interpret: bool = True,
 ) -> jnp.ndarray:
     """Impulse-response synthesis: (B, num_samples) RIRs for B gain sets."""
     impulse = jnp.zeros(num_samples, jnp.float32).at[0].set(1.0)
-    fn = delay_line_outputs_pallas if use_pallas else delay_line_outputs
-    y = fn(delays, gains, feedback_matrix, input_gains, impulse)
+    if use_pallas:
+        y = delay_line_outputs_pallas(
+            delays, gains, feedback_matrix, input_gains, impulse,
+            interpret=interpret,
+        )
+    else:
+        y = delay_line_outputs(
+            delays, gains, feedback_matrix, input_gains, impulse
+        )
     return (y @ output_gains.T).T

@@ -63,18 +63,17 @@ class FeedbackLoop(nn.Module):
     common_decay_times_init: Optional[Tuple[float, ...]] = None
     colorless_feedback_matrix_skew: Optional[np.ndarray] = None
     trainable_feedback: bool = True
-    # fused Pallas Gauss-Jordan inverse (kernels.pallas_cinv): None = auto
-    # (on for TPU backends — measured equal-or-faster than the XLA
-    # formulation in fwd and grad, and 3-5x faster to compile); True/False
-    # force it (False e.g. to sidestep a Mosaic compiler regression)
+    # fused Pallas Gauss-Jordan inverse (kernels.pallas_cinv). True is a
+    # PLACEMENT ASSERTION: the caller promises this model's computation is
+    # placed on TPU devices (the compiled kernels are TPU-only). Resolve it
+    # at build time from the actual devices/mesh — never from
+    # jax.default_backend(), which lies for computation placed off the
+    # process-default platform (see utils.placement / training.build).
+    # None/False = portable XLA formulation (kernels.linalg).
     use_pallas_inverse: Optional[bool] = None
 
     def _pallas_inverse(self) -> bool:
-        if self.use_pallas_inverse is not None:
-            return self.use_pallas_inverse
-        import jax
-
-        return jax.default_backend() == "tpu"
+        return bool(self.use_pallas_inverse)
 
     @property
     def num_delays(self) -> int:
@@ -285,10 +284,16 @@ class FeedbackLoop(nn.Module):
     def _inv(self, m: jnp.ndarray) -> jnp.ndarray:
         """Batched (K, N, N) complex inverse via the selected implementation."""
         if self._pallas_inverse():
+            # compiled (interpret=False) is safe here by contract:
+            # use_pallas_inverse=True asserts TPU placement
             from ..kernels.linalg import cinv_with
             from ..kernels.pallas_cinv import cinv_pallas
 
-            return cinv_with(cinv_pallas, pallas_bwd=True)(m)
+            return cinv_with(
+                lambda x: cinv_pallas(x, interpret=False),
+                pallas_bwd=True,
+                interpret=False,
+            )(m)
         return cinv(m)
 
     def _solve1(self, m: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -296,7 +301,7 @@ class FeedbackLoop(nn.Module):
         if self._pallas_inverse():
             from ..kernels.linalg import csolve1_pallas
 
-            return csolve1_pallas(m, b)
+            return csolve1_pallas(m, b, interpret=False)
         from ..kernels.linalg import csolve1
 
         return csolve1(m, b)

@@ -86,7 +86,8 @@ class DiffGFDN(nn.Module):
     # single-RHS solve (~1.6x faster) instead of the training-optimal
     # inverse (whose VJP is cheaper)
     inference_solve: bool = False
-    # None = auto (Pallas fused inverse on TPU backends); see FeedbackLoop
+    # True = fused Pallas inverse; a TPU-PLACEMENT assertion resolved at
+    # build time from the actual devices (utils.placement) — see FeedbackLoop
     use_pallas_inverse: Optional[bool] = None
 
     @property

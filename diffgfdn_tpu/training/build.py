@@ -161,8 +161,21 @@ def build_gfdn_model(
     desired_directions: Optional[np.ndarray] = None,
     variant: str = "var_receiver",
     inference_solve: bool = False,
+    devices=None,
+    use_pallas_inverse: Optional[bool] = None,
 ):
-    """Instantiate the configured DiffGFDN variant (not yet initialized)."""
+    """Instantiate the configured DiffGFDN variant (not yet initialized).
+
+    Kernel selection (the fused Pallas inverse) is resolved HERE, from the
+    placement the caller declares: pass ``devices`` (the mesh/devices the
+    model will run on) or force ``use_pallas_inverse`` directly. With
+    neither, the process-default placement decides — correct exactly when
+    the caller does not place work elsewhere (CLI/solver runs).
+    """
+    if use_pallas_inverse is None:
+        from ..utils.placement import placement_is_tpu
+
+        use_pallas_inverse = placement_is_tpu(devices)
     kw = absorption_arrays(config, common_decay_times, band_centre_hz)
     fixed_b = fixed_c = m_skew = None
     if colorless_params is not None:
@@ -182,6 +195,7 @@ def build_gfdn_model(
         fixed_output_gains=fixed_c,
         use_colorless_loss=config.trainer_config.use_colorless_loss,
         inference_solve=inference_solve,
+        use_pallas_inverse=use_pallas_inverse,
         **kw,
     )
     head = dict(

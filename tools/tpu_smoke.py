@@ -105,12 +105,15 @@ def smoke_source_receiver(tmp):
             float(t60s[k]), np.asarray(delays[2 * k : 2 * k + 2]), fs))
         for k in range(3)
     ])
+    from diffgfdn_tpu.utils.placement import placement_is_tpu
+
     model = DiffGFDNVarSourceReceiverPos(
         sample_rate=fs, num_groups=3, delays=delays, gains=gains,
         use_svf_in_output=False, use_svf_in_input=False,
         num_hidden_layers=1, num_neurons=16, num_fourier_features=4,
         input_num_hidden_layers=1, input_num_neurons=16,
         input_num_fourier_features=4,
+        use_pallas_inverse=placement_is_tpu(),  # default placement run
     )
     cfg = TrainerConfig(
         batch_size=4, num_freq_bins=2048, max_epochs=2, lr=1e-3,
