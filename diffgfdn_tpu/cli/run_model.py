@@ -21,7 +21,14 @@ def main(argv=None):
         "--wipe-train-dir", action="store_true",
         help="delete and recreate the training directory first",
     )
+    parser.add_argument(
+        "--resume", action="store_true",
+        help="continue an interrupted grid-training run from the newest "
+        "checkpoint (params + optimizer state)",
+    )
     args = parser.parse_args(argv)
+    if args.resume and args.wipe_train_dir:
+        parser.error("--resume and --wipe-train-dir are mutually exclusive")
 
     logging.basicConfig(level=logging.INFO)
     from ..config import DiffGFDNConfig, load_and_validate_config
@@ -50,7 +57,7 @@ def main(argv=None):
         room_data = SpatialThreeRoomDataset(config.room_dataset_path)
         run_training_anisotropic_decay_var_receiver_pos(config, room_data)
     else:
-        run_training_var_receiver_pos(config, export_irs=True)
+        run_training_var_receiver_pos(config, export_irs=True, resume=args.resume)
 
 
 if __name__ == "__main__":

@@ -242,13 +242,12 @@ class BandParallelTrainer:
         rng = np.random.RandomState(seed)
         max_epochs = max_epochs or self.cfg.max_epochs
         history = []
+        from ..training.trainer import padded_batches
+
         for _ in range(max_epochs):
             perm = train_idx[rng.permutation(len(train_idx))]
             totals, nb = None, 0
-            for k in range(max(1, len(perm) // bs)):
-                bidx = perm[k * bs : (k + 1) * bs]
-                if len(bidx) < bs:  # pad to keep one compiled shape
-                    bidx = np.concatenate([bidx, perm[: bs - len(bidx)]])
+            for bidx in padded_batches(perm, bs):
                 key, sub = jax.random.split(key)
                 params, opt_state, total, _ = step(
                     params, opt_state, data, self._band_resps_dev,

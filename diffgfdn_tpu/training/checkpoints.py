@@ -39,6 +39,36 @@ def save_checkpoint(train_dir, epoch: int, params: Any) -> Path:
     return path
 
 
+def opt_state_path(train_dir, epoch: int) -> Path:
+    return Path(train_dir) / "checkpoints" / f"opt_e{epoch}.ckpt"
+
+
+def save_opt_state(train_dir, epoch: int, opt_state: Any) -> Path:
+    """Sidecar optimizer-state checkpoint (Adam moments + schedule counts).
+
+    Kept separate from the params file so inference consumers of
+    ``model_e{e}.ckpt`` see the same format as before; resume loads both
+    so a resumed run continues with the exact optimizer state (moments
+    AND StepLR schedule position) an uninterrupted run would have.
+    """
+    path = opt_state_path(train_dir, epoch)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_suffix(".tmp")
+    with open(tmp, "wb") as f:
+        pickle.dump(_to_numpy(opt_state), f)
+    os.replace(tmp, path)
+    return path
+
+
+def load_opt_state(train_dir, epoch: int) -> Optional[Any]:
+    """Optimizer state for the given epoch, or None if not checkpointed."""
+    path = opt_state_path(train_dir, epoch)
+    if not path.exists():
+        return None
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
 def save_checkpoint_orbax(train_dir, epoch: int, params: Any) -> Path:
     """Orbax-backed checkpoint (directory format, async-capable)."""
     import orbax.checkpoint as ocp

@@ -48,24 +48,32 @@ def label_params(params) -> Any:
 
 
 def step_decay_schedule(base_lr: float, steps_per_epoch: int,
-                        step_size_epochs: int = 10, gamma: float = 0.1):
-    """StepLR: lr * gamma^(epoch // step_size), counted in optimizer steps."""
+                        step_size_epochs: int = 10, gamma: float = 0.1,
+                        count_offset: int = 0):
+    """StepLR: lr * gamma^(epoch // step_size), counted in optimizer steps.
+
+    ``count_offset`` shifts the schedule to a resumed run's true position
+    (used when no optimizer-state checkpoint exists to restore the count).
+    """
 
     def schedule(count):
-        epoch = count // max(steps_per_epoch, 1)
+        epoch = (count + count_offset) // max(steps_per_epoch, 1)
         return base_lr * gamma ** (epoch // step_size_epochs)
 
     return schedule
 
 
 def make_optimizer(
-    trainer_config: TrainerConfig, params, steps_per_epoch: int
+    trainer_config: TrainerConfig, params, steps_per_epoch: int,
+    count_offset: int = 0,
 ) -> optax.GradientTransformation:
     """Adam with per-group lrs and shared StepLR(10 epochs, 0.1) decay."""
 
     def adam_with(base_lr: float):
         return optax.adam(
-            learning_rate=step_decay_schedule(base_lr, steps_per_epoch)
+            learning_rate=step_decay_schedule(
+                base_lr, steps_per_epoch, count_offset=count_offset
+            )
         )
 
     transforms: Dict[str, optax.GradientTransformation] = {

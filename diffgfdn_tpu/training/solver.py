@@ -108,8 +108,13 @@ def run_training_var_receiver_pos(
     config: DiffGFDNConfig,
     room_data: Optional[RoomDataset] = None,
     export_irs: bool = False,
+    resume: bool = False,
 ) -> Tuple[GFDNTrainer, Dict]:
-    """Grid-of-receivers training (the flagship path; solver.py:294-453)."""
+    """Grid-of-receivers training (the flagship path; solver.py:294-453).
+
+    ``resume=True`` continues an interrupted run from the newest
+    checkpoint in the training directory (params + optimizer state).
+    """
     if room_data is None:
         room_data = ThreeRoomDataset(
             config.room_dataset_path, nfft=config.trainer_config.num_freq_bins
@@ -197,7 +202,7 @@ def run_training_var_receiver_pos(
     params = init_with_batch(model, jax.random.PRNGKey(config.seed), example)
     # device-resident data path: upload once, gather batches on device
     params = trainer.fit_indexed(
-        params, arrays, train_idx, valid_idx, seed=config.seed
+        params, arrays, train_idx, valid_idx, seed=config.seed, resume=resume
     )
 
     save_diff_gfdn_parameters(model, params, tc.train_dir)

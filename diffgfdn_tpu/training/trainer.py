@@ -38,10 +38,27 @@ from ..ops.stft import erb_filterbank
 from ..ops.unitary import orthogonal_from_skew
 from ..models.gfdn import DiffGFDN
 from ..utils.cio import decode_batch, encode_batch
-from .checkpoints import save_checkpoint
+from .checkpoints import save_checkpoint, save_opt_state
 from .optim import make_optimizer
 
 logger = logging.getLogger("diffgfdn_tpu")
+
+
+def padded_batches(idx: np.ndarray, batch_size: int):
+    """Split an index vector into full batches, padding the tail.
+
+    Every item appears at least once (nothing is dropped) and every batch
+    has exactly ``batch_size`` entries (one compiled shape); the tail is
+    padded by wrapping around to the head.
+    """
+    n = len(idx)
+    for k in range(max(1, -(-n // batch_size))):
+        b = idx[k * batch_size : (k + 1) * batch_size]
+        if len(b) == 0:
+            return
+        if len(b) < batch_size:
+            b = np.concatenate([b, idx[: batch_size - len(b)]])
+        yield b
 
 
 class GFDNTrainer:
@@ -316,8 +333,12 @@ class GFDNTrainer:
         walks checkpoints backwards, inference.py:410-428).
         """
         start_epoch = 0
+        resumed_opt_state = None
         if resume:
-            from .checkpoints import load_latest_checkpoint_with_epoch
+            from .checkpoints import (
+                load_latest_checkpoint_with_epoch,
+                load_opt_state,
+            )
 
             found = load_latest_checkpoint_with_epoch(
                 self.cfg.train_dir, self.cfg.max_epochs - 1
@@ -326,9 +347,28 @@ class GFDNTrainer:
                 ckpt, last_epoch = found
                 params = jax.tree_util.tree_map(jnp.asarray, ckpt)
                 start_epoch = last_epoch + 1
-                logger.info("resuming from epoch %d", start_epoch)
-        self.optimizer = make_optimizer(self.cfg, params, self.steps_per_epoch)
+                resumed_opt_state = load_opt_state(
+                    self.cfg.train_dir, last_epoch
+                )
+                logger.info(
+                    "resuming from epoch %d (%s optimizer state)",
+                    start_epoch,
+                    "with" if resumed_opt_state is not None else "without",
+                )
+        # no opt-state sidecar (pre-sidecar checkpoint): Adam moments restart
+        # but the StepLR schedule is offset to the resumed position, so the
+        # run never trains at a stale (too-high) learning rate
+        count_offset = (
+            start_epoch * self.steps_per_epoch
+            if resume and resumed_opt_state is None
+            else 0
+        )
+        self.optimizer = make_optimizer(
+            self.cfg, params, self.steps_per_epoch, count_offset=count_offset
+        )
         opt_state = self.optimizer.init(params)
+        if resumed_opt_state is not None:
+            opt_state = jax.tree_util.tree_map(jnp.asarray, resumed_opt_state)
         key = jax.random.PRNGKey(seed)
         data = self.upload_arrays(arrays)
         bs = min(self.cfg.batch_size, max(1, len(train_idx)))
@@ -359,8 +399,8 @@ class GFDNTrainer:
             ep_loss, ep_all, n_train = None, {}, 0
             if not normalize_per_step:
                 params = normalize(params, data)
-            for k in range(len(perm) // bs):
-                idx = jnp.asarray(perm[k * bs : (k + 1) * bs], jnp.int32)
+            for bidx in padded_batches(perm, bs):
+                idx = jnp.asarray(bidx, jnp.int32)
                 if normalize_per_step:
                     params = normalize(params, data)
                 key, sub = jax.random.split(key)
@@ -373,12 +413,7 @@ class GFDNTrainer:
                 n_train += 1
 
             ev_loss, ev_all, n_valid = None, {}, 0
-            for k in range(max(1, len(valid_idx) // vbs)):
-                vidx = valid_idx[k * vbs : (k + 1) * vbs]
-                if len(vidx) == 0:
-                    break
-                if len(vidx) < vbs:  # pad for a single compile
-                    vidx = np.concatenate([vidx, valid_idx[: vbs - len(vidx)]])
+            for vidx in padded_batches(valid_idx, vbs):
                 key, sub = jax.random.split(key)
                 total, aux = valid_step(
                     params, data, jnp.asarray(vidx, jnp.int32), sub
@@ -401,12 +436,15 @@ class GFDNTrainer:
                 {k: float(v) / max(n_valid, 1) for k, v in ev_all.items()}
             )
             save_checkpoint(self.cfg.train_dir, epoch, params)
+            save_opt_state(self.cfg.train_dir, epoch, opt_state)
             logger.info(
                 "epoch %d train %.4f valid %.4f (%.2fs)",
                 epoch, self.train_loss[-1], self.valid_loss[-1],
                 time.time() - ep_start,
             )
-            if epoch >= 1:
+            # guard on HISTORY length, not epoch number: a resumed run's
+            # loop starts at epoch >= 1 with an empty history
+            if len(self.valid_loss) >= 2:
                 if abs(self.valid_loss[-2] - self.valid_loss[-1]) <= self.early_stop_tol:
                     self._early_stop += 1
                 else:
@@ -520,7 +558,7 @@ class GFDNTrainer:
                 time.time() - ep_start,
             )
 
-            if epoch >= 1:
+            if len(self.valid_loss) >= 2:
                 if abs(self.valid_loss[-2] - self.valid_loss[-1]) <= self.early_stop_tol:
                     self._early_stop += 1
                 else:
@@ -666,7 +704,7 @@ class SinglePosGFDNTrainer(GFDNTrainer):
                 {k: float(v) for k, v in aux.items()}
             )
             save_checkpoint(self.cfg.train_dir, epoch, params)
-            if epoch >= 1:
+            if len(self.train_loss) >= 2:
                 if abs(self.train_loss[-2] - self.train_loss[-1]) <= self.early_stop_tol:
                     self._early_stop += 1
                 else:

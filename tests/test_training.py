@@ -173,3 +173,81 @@ def test_fit_indexed_resume(tmp_path, room):
     assert (tmp_path / "train" / "checkpoints" / "model_e3.ckpt").exists() or (
         load_checkpoint(cfg.trainer_config.train_dir, 3) is not None
     )
+
+
+def test_fit_indexed_resume_fresh_process(tmp_path, room):
+    """The REAL resume scenario: a brand-new trainer (fresh process) with
+    empty loss history resumes from disk — exercises the early-stop guard
+    (used to IndexError on valid_loss[-2]) and the optimizer-state restore.
+    """
+    import jax
+
+    from diffgfdn_tpu.data.batching import (
+        arrays_from_room_dataset,
+        gather_batch,
+        train_valid_split,
+    )
+    from diffgfdn_tpu.training.build import build_gfdn_model
+    from diffgfdn_tpu.training.checkpoints import load_opt_state
+    from diffgfdn_tpu.training.trainer import GFDNTrainer
+    from diffgfdn_tpu.utils.cio import init_with_batch
+
+    cfg = small_config(tmp_path, max_epochs=2)
+    arrays = arrays_from_room_dataset(room)
+    train_idx, valid_idx = train_valid_split(
+        np.arange(arrays.num_items), 0.8, seed=cfg.seed
+    )
+
+    def fresh_trainer():
+        model = build_gfdn_model(
+            cfg,
+            common_decay_times=room.common_decay_times,
+            band_centre_hz=room.band_centre_hz,
+        )
+        trainer = GFDNTrainer(
+            model,
+            cfg.trainer_config,
+            steps_per_epoch=max(1, len(train_idx) // cfg.trainer_config.batch_size),
+            common_decay_times=room.common_decay_times,
+            sample_rate=cfg.sample_rate,
+        )
+        trainer.precompute_target_features(arrays)
+        return model, trainer
+
+    model, trainer = fresh_trainer()
+    batch0 = gather_batch(arrays, train_idx[: cfg.trainer_config.batch_size])
+    params = init_with_batch(model, jax.random.PRNGKey(cfg.seed), batch0)
+    trainer.fit_indexed(params, arrays, train_idx, valid_idx, seed=cfg.seed)
+    # optimizer-state sidecars written per epoch
+    assert load_opt_state(cfg.trainer_config.train_dir, 1) is not None
+
+    # fresh process: NEW trainer, empty history, larger budget, resume
+    cfg.trainer_config.max_epochs = 4
+    _, trainer2 = fresh_trainer()
+    assert trainer2.valid_loss == []
+    trainer2.fit_indexed(
+        params, arrays, train_idx, valid_idx, seed=cfg.seed, resume=True
+    )
+    # ran exactly the remaining epochs (2, 3) without crashing
+    assert len(trainer2.valid_loss) == 2
+    assert np.isfinite(trainer2.valid_loss).all()
+    assert (tmp_path / "train" / "checkpoints" / "model_e3.ckpt").exists()
+
+
+def test_padded_batches_covers_every_item():
+    """The batching helper used by BOTH the train and valid loops never
+    drops the trailing partial batch and keeps a single compiled shape."""
+    from diffgfdn_tpu.training.trainer import padded_batches
+
+    idx = np.arange(10)
+    batches = list(padded_batches(idx, 4))
+    assert [len(b) for b in batches] == [4, 4, 4]
+    covered = set(np.concatenate(batches).tolist())
+    assert covered == set(range(10))
+    # exact multiple: no padding, no extra batch
+    assert [len(b) for b in padded_batches(np.arange(8), 4)] == [4, 4]
+    # fewer items than one batch: single padded batch
+    (only,) = list(padded_batches(np.arange(3), 4))
+    assert len(only) == 4 and set(only[:3]) == {0, 1, 2}
+    # empty: no batches
+    assert list(padded_batches(np.arange(0), 4)) == []
