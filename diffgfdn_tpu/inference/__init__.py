@@ -9,6 +9,7 @@ from .gfdn_inference import (
     infer_all_octave_bands,
     InferDiffGFDN,
     make_rir_synthesis_fn,
+    make_time_domain_synthesis_fn,
     merge_subband_rirs,
     subband_energy_compensation,
 )
@@ -45,6 +46,7 @@ __all__ = [
     "infer_all_octave_bands",
     "integrated_loudness",
     "make_rir_synthesis_fn",
+    "make_time_domain_synthesis_fn",
     "merge_subband_rirs",
     "normalise_loudness",
     "shaped_wgn_multiband",

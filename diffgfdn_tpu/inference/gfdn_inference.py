@@ -52,6 +52,119 @@ def make_rir_synthesis_fn(model, reduced_pole_radius: float = 1.0):
     return synth
 
 
+def make_time_domain_synthesis_fn(model, params, num_samples: int):
+    """Alias-free time-domain RIR synthesis from a TRAINED model.
+
+    Returns ``fn(batch) -> (B, num_samples)``. The feedback loop runs as the
+    exact block-feedforward scan (kernels.tdgfdn) — including SOS/IIR
+    absorption filters and FILTER-mode polynomial coupling — so the
+    infinite reverberant tail has NO time aliasing regardless of length
+    (the frequency-sampled path wraps energy beyond nfft; the reference has
+    no time-domain core at all, SURVEY §7.1). Output heads:
+
+    * scalar heads: per-position mix is one (B, N) x (N, T) matmul;
+    * SVF heads: the per-group output filters (short IIRs) are applied via
+      a generously zero-padded rFFT product on the alias-free line outputs.
+
+    The direct/early path is NOT added here — renderers splice it
+    separately (reference sound_examples.py:25-77).
+    """
+    from ..kernels.tdgfdn import (
+        delay_line_outputs,
+        delay_line_outputs_filtered,
+        filter_bank_from_gains,
+        filter_bank_from_iir,
+        filter_bank_from_sos,
+    )
+    from ..models.gain_heads import expand_groups_to_delay_lines
+
+    nper = model.num_delay_lines_per_group
+    delays = tuple(int(d) for d in model.delays)
+
+    def _statics(mdl, x):
+        fl = mdl.feedback_loop
+        a = fl.coupled_feedback_matrix()
+        gamma = None if fl.use_absorption_filters else fl.gamma_scalar()
+        return a, mdl.input_gains[:, 0], gamma
+
+    def _scalar_gains(mdl, x):
+        g = mdl.output_scalars(x)
+        return expand_groups_to_delay_lines(g, nper) * mdl.output_gains[:, 0]
+
+    def _group_resp(mdl, x):
+        return mdl.output_filters(x)  # (B, G, F) complex
+
+    use_svf = bool(getattr(model, "use_svf_in_output", False))
+
+    def synth(batch) -> jnp.ndarray:
+        enc = encode_batch(batch)
+        a, b, gamma = jax.jit(
+            lambda p, e: model.apply(
+                p, decode_batch(e), method=_statics
+            )
+        )(params, enc)
+        a_np = np.asarray(a)
+        if model.sos_coeffs is not None:
+            bank = filter_bank_from_sos(np.asarray(model.sos_coeffs), delays)
+            y = delay_line_outputs_filtered(
+                delays, bank, a, b,
+                jnp.zeros(num_samples, jnp.float32).at[0].set(1.0),
+            )
+        elif model.iir_coeffs is not None:
+            bank = filter_bank_from_iir(np.asarray(model.iir_coeffs), delays)
+            y = delay_line_outputs_filtered(
+                delays, bank, a, b,
+                jnp.zeros(num_samples, jnp.float32).at[0].set(1.0),
+            )
+        elif a_np.ndim == 3:  # FILTER coupling with scalar absorption
+            bank = filter_bank_from_gains(np.asarray(gamma), delays)
+            y = delay_line_outputs_filtered(
+                delays, bank, a, b,
+                jnp.zeros(num_samples, jnp.float32).at[0].set(1.0),
+            )
+        else:
+            impulse = jnp.zeros(num_samples, jnp.float32).at[0].set(1.0)
+            y = delay_line_outputs(delays, gamma, a, b, impulse)  # (T, N)
+
+        if not use_svf:
+            c = jax.jit(
+                lambda p, e: model.apply(
+                    p, decode_batch(e), method=_scalar_gains
+                )
+            )(params, enc)
+            return (y @ c.T).T
+
+        # SVF heads: apply the (short-IIR) output filters with a padded
+        # rFFT product — the loop part above is already alias-free
+        nfft2 = 1 << int(np.ceil(np.log2(num_samples + 4096)))
+        z2 = np.exp(
+            1j * np.linspace(0.0, np.pi, nfft2 // 2 + 1)
+        ).astype(np.complex64)
+        x2 = dict(batch)
+        x2["z_values"] = z2
+
+        def _group_resp_enc(p, e):
+            r = model.apply(p, decode_batch(e), method=_group_resp)
+            return jnp.stack([jnp.real(r), jnp.imag(r)], axis=-1)
+
+        group_resp = jax.jit(_group_resp_enc)(params, encode_batch(x2))
+        group_resp = group_resp[..., 0] + 1j * group_resp[..., 1]  # (B, G, F2)
+        out_gains = jax.jit(
+            lambda p: model.apply(p, method=lambda m: m.output_gains[:, 0])
+        )(params)  # (N,)
+        yf = jnp.fft.rfft(y, nfft2, axis=0)  # (F2, N)
+        line_group = np.repeat(np.arange(model.num_groups), nper)
+        h = jnp.einsum(
+            "n,bnf,fn->bf",
+            out_gains.astype(jnp.complex64),
+            group_resp[:, line_group, :],
+            yf,
+        )
+        return jnp.fft.irfft(h, nfft2, axis=-1)[:, :num_samples]
+
+    return synth
+
+
 class InferDiffGFDN:
     """Regenerate RIRs and head parameters from a trained checkpoint."""
 

@@ -27,10 +27,17 @@ Two implementations:
 
 Per-position RIRs then follow as one big matmul Y @ C^T over the batch of
 output-gain vectors.
+
+Frequency-dependent decay is fully supported: per-line SOS/IIR absorption
+filters run EXACTLY via block state-space processing, and FILTER-mode
+polynomial coupling A(z) via a carried output tail — see
+:func:`delay_line_outputs_filtered` and the section notes below. Every
+realistic config (ops/absorption.py GEQ/Prony fits) therefore synthesizes
+alias-free in the time domain.
 """
 
 import functools
-from typing import Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -237,3 +244,275 @@ def synthesize_rirs_time_domain(
             delays, gains, feedback_matrix, input_gains, impulse
         )
     return (y @ output_gains.T).T
+
+
+# ----------------- frequency-dependent absorption (exact) -------------------
+#
+# Realistic GFDN configs attach an SOS/IIR absorption filter gamma_i(z) to
+# every delay line (ops/absorption.py fits them from per-band decay times;
+# reference: absorption_filters.py:56-155). The loop then reads
+#     y_i[n] = (gamma_i * x_i)[n - m_i];   x[n] = A(z) y[n] + b u[n]
+# i.e. the filter acts on the DELAYED line signal — so inside a block of
+# L <= m_min samples the filter input is fully known history and the block
+# feedforward trick above still applies. The recursion *within* the filter
+# is handled EXACTLY with block state-space processing:
+#
+# with (T, B, C, D) the cascade's state-space and s the state at block
+# start, the block output splits into
+#     y[n] = C T^n s  +  sum_{k<=n} h[n-k] u[k],        n = 0..L-1
+#     s'   = T^L s    +  sum_k T^{L-1-k} B u[k]
+# where h[0] = D, h[j] = C T^{j-1} B are the filter's FIRST L impulse-
+# response samples. The convolution term is an exact linear convolution
+# (zero-padded rFFT product per block); the infinite IR tail is carried by
+# the state — no truncation error anywhere. All precomputation is host-side
+# float64; the in-scan work is two small einsums + one length-2L FFT per
+# block, negligible next to the (L, N) x (N, N) feedback matmul.
+#
+# FILTER-mode coupling A(z) = sum_o A_o z^-o (feedback_loop.py FIR
+# paraunitary, order ~32) is supported by carrying the last order-1 samples
+# of y across blocks and forming x[n] = sum_o y[n-o] A_o^T as a static sum
+# of shifted (L, N) x (N, N) matmuls.
+
+
+class BlockFilterBank(NamedTuple):
+    """Per-delay-line block state-space filter constants (host numpy f32).
+
+    Shapes: ``h`` (N, L) first-L impulse response; ``p`` (N, L, m) initial-
+    state response rows C T^n; ``q`` (N, m, L) input-to-state columns
+    T^{L-1-k} B; ``tl`` (N, m, m) = T^L. ``m`` = state dimension.
+    """
+
+    h: np.ndarray
+    p: np.ndarray
+    q: np.ndarray
+    tl: np.ndarray
+
+    @property
+    def block(self) -> int:
+        return self.h.shape[1]
+
+
+def sos_cascade_to_statespace(sos: np.ndarray):
+    """(S, 3, 2) biquad cascade -> series state-space (T, B, C, D), float64.
+
+    Per-section transposed direct-form II realization, composed in series.
+    Convention matches ops.biquad.sos_frequency_response: section k is
+    (b0 + b1 z^-1 + b2 z^-2) / (a0 + a1 z^-1 + a2 z^-2).
+    """
+    t = np.zeros((0, 0))
+    bv = np.zeros(0)
+    cv = np.zeros(0)
+    d = 1.0
+    for k in range(sos.shape[0]):
+        b = np.asarray(sos[k, :, 0], np.float64)
+        a = np.asarray(sos[k, :, 1], np.float64)
+        b = b / a[0]
+        a = a / a[0]
+        a_k = np.array([[-a[1], 1.0], [-a[2], 0.0]])
+        b_k = np.array([b[1] - a[1] * b[0], b[2] - a[2] * b[0]])
+        c_k = np.array([1.0, 0.0])
+        d_k = b[0]
+        m_prev = t.shape[0]
+        t = np.block(
+            [
+                [t, np.zeros((m_prev, 2))],
+                [np.outer(b_k, cv).reshape(2, m_prev), a_k],
+            ]
+        )
+        bv = np.concatenate([bv, b_k * d])
+        cv = np.concatenate([d_k * cv, c_k])
+        d = d_k * d
+    return t, bv, cv, d
+
+
+def iir_to_statespace(b: np.ndarray, a: np.ndarray):
+    """Direct-form IIR (b, a) -> controllable-canonical (T, B, C, D), f64."""
+    b = np.asarray(b, np.float64)
+    a = np.asarray(a, np.float64)
+    b = b / a[0]
+    a = a / a[0]
+    order = len(a) - 1
+    b = np.concatenate([b, np.zeros(max(0, order + 1 - len(b)))])[: order + 1]
+    t = np.zeros((order, order))
+    t[0, :] = -a[1:]
+    t[1:, :-1] = np.eye(order - 1)
+    bv = np.zeros(order)
+    bv[0] = 1.0
+    cv = b[1:] - a[1:] * b[0]
+    d = b[0]
+    return t, bv, cv, d
+
+
+def _block_constants(t, bv, cv, d, block: int):
+    """(h, P, Q, T^L) block constants for one state-space filter, f64."""
+    m = t.shape[0]
+    p = np.zeros((block, m))
+    q = np.zeros((m, block))
+    tn = np.eye(m)
+    for n in range(block):
+        p[n] = cv @ tn  # C T^n
+        q[:, block - 1 - n] = tn @ bv  # T^n B at column L-1-n
+        tn = tn @ t
+    h = np.zeros(block)
+    h[0] = d
+    if block > 1:
+        h[1:] = p[: block - 1] @ bv  # C T^{j-1} B
+    return h, p, q, tn  # tn == T^L
+
+
+def _bank_from_statespaces(spaces, block: int) -> BlockFilterBank:
+    hs, ps, qs, tls = [], [], [], []
+    for t, bv, cv, d in spaces:
+        h, p, q, tl = _block_constants(t, bv, cv, d, block)
+        hs.append(h)
+        ps.append(p)
+        qs.append(q)
+        tls.append(tl)
+    return BlockFilterBank(
+        h=np.stack(hs).astype(np.float32),
+        p=np.stack(ps).astype(np.float32),
+        q=np.stack(qs).astype(np.float32),
+        tl=np.stack(tls).astype(np.float32),
+    )
+
+
+def filter_bank_from_sos(
+    sos_coeffs: np.ndarray, delays: Tuple[int, ...]
+) -> BlockFilterBank:
+    """Block filter bank from (N, S, 3, 2) absorption SOS cascades."""
+    block = _block_size(delays)
+    return _bank_from_statespaces(
+        [sos_cascade_to_statespace(np.asarray(sos_coeffs[i]))
+         for i in range(sos_coeffs.shape[0])],
+        block,
+    )
+
+
+def filter_bank_from_iir(
+    iir_coeffs: np.ndarray, delays: Tuple[int, ...]
+) -> BlockFilterBank:
+    """Block filter bank from (N, order+1, 2) absorption IIR coefficients."""
+    block = _block_size(delays)
+    return _bank_from_statespaces(
+        [iir_to_statespace(iir_coeffs[i, :, 0], iir_coeffs[i, :, 1])
+         for i in range(iir_coeffs.shape[0])],
+        block,
+    )
+
+
+def filter_bank_from_gains(
+    gains: np.ndarray, delays: Tuple[int, ...]
+) -> BlockFilterBank:
+    """Trivial (stateless) bank for scalar per-line gains — used to drive the
+    filtered path with FILTER-mode coupling but broadband absorption."""
+    block = _block_size(delays)
+    spaces = [
+        (np.zeros((1, 1)), np.zeros(1), np.zeros(1), float(g)) for g in gains
+    ]
+    return _bank_from_statespaces(spaces, block)
+
+
+def delay_line_outputs_filtered(
+    delays: Tuple[int, ...],
+    filter_bank: BlockFilterBank,
+    feedback: jnp.ndarray,
+    input_gains: jnp.ndarray,
+    input_signal: jnp.ndarray,
+) -> jnp.ndarray:
+    """Delay-line outputs Y (T, N) with per-line absorption FILTERS.
+
+    ``feedback``: (N, N) static matrix, or (order, N, N) for FILTER-mode
+    polynomial coupling A(z) = sum_o A_o z^-o. Exact — see module notes.
+    """
+    n = len(delays)
+    t_len = input_signal.shape[0]
+    m_max = int(max(delays))
+    L = filter_bank.block
+    assert L <= min(delays), "filter bank block exceeds the minimum delay"
+    n_blocks = int(np.ceil(t_len / L))
+    t_pad = n_blocks * L
+
+    u = jnp.zeros(t_pad).at[:t_len].set(input_signal)
+    x_hist = jnp.zeros((t_pad + m_max, n), jnp.float32)
+    offsets = jnp.asarray([m_max - d for d in delays], jnp.int32)
+    b = input_gains.astype(jnp.float32)
+
+    poly = feedback.ndim == 3
+    if poly:
+        order = feedback.shape[0]
+        a_t = jnp.transpose(feedback, (0, 2, 1)).astype(jnp.float32)
+    else:
+        order = 1
+        a_t = feedback.T.astype(jnp.float32)
+
+    # filter constants (f32); the rFFT of h is computed in-program so no
+    # complex constant crosses the jit boundary (TPU transfer limitation)
+    hf = jnp.fft.rfft(jnp.asarray(filter_bank.h), 2 * L, axis=-1).T  # (L+1, N)
+    p_c = jnp.asarray(filter_bank.p)  # (N, L, m)
+    q_c = jnp.asarray(filter_bank.q)  # (N, m, L)
+    tl_c = jnp.asarray(filter_bank.tl)  # (N, m, m)
+    m_state = p_c.shape[-1]
+
+    def body(carry, blk):
+        x_hist, s, y_tail = carry
+        start = blk * L
+        # delayed line signals for this block: u_lines[:, i] = x_i[. - m_i]
+        u_lines = jax.vmap(
+            lambda col, off: lax.dynamic_slice(col, (start + off,), (L,)),
+            in_axes=(1, 0), out_axes=1,
+        )(x_hist, offsets)  # (L, N)
+
+        # exact block filtering: within-block convolution + state response
+        uf = jnp.fft.rfft(u_lines, 2 * L, axis=0)  # (L+1, N)
+        conv = jnp.fft.irfft(uf * hf, 2 * L, axis=0)[:L]  # (L, N)
+        y_blk = conv + jnp.einsum("nlm,nm->ln", p_c, s)
+        s = jnp.einsum("nab,nb->na", tl_c, s) + jnp.einsum(
+            "nml,ln->nm", q_c, u_lines
+        )
+
+        u_blk = lax.dynamic_slice(u, (start,), (L,))
+        if poly:
+            y_ext = jnp.concatenate([y_tail, y_blk], axis=0)  # (L+order-1, N)
+            x_blk = u_blk[:, None] * b[None, :]
+            for o in range(order):  # static unroll over the FIR order
+                sl = lax.slice(
+                    y_ext, (order - 1 - o, 0), (order - 1 - o + L, n)
+                )
+                x_blk = x_blk + sl @ a_t[o]
+            y_tail = lax.slice(y_ext, (L, 0), (L + order - 1, n))
+        else:
+            x_blk = y_blk @ a_t + u_blk[:, None] * b[None, :]
+        x_hist = lax.dynamic_update_slice(x_hist, x_blk, (start + m_max, 0))
+        return (x_hist, s, y_tail), y_blk
+
+    init = (
+        x_hist,
+        jnp.zeros((n, m_state), jnp.float32),
+        jnp.zeros((order - 1, n), jnp.float32),
+    )
+    _, y_blocks = lax.scan(body, init, jnp.arange(n_blocks))
+    return y_blocks.reshape(t_pad, n)[:t_len]
+
+
+def synthesize_rirs_time_domain_filtered(
+    delays: Tuple[int, ...],
+    filter_bank: BlockFilterBank,
+    feedback: jnp.ndarray,
+    input_gains: jnp.ndarray,
+    output_gains: jnp.ndarray,
+    num_samples: int,
+    direct_gains: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Alias-free RIR synthesis with filtered absorption: (B, num_samples).
+
+    The delay-line run is shared across the batch of output-gain vectors
+    (B, N); the per-position mix is one MXU matmul.
+    """
+    impulse = jnp.zeros(num_samples, jnp.float32).at[0].set(1.0)
+    y = delay_line_outputs_filtered(
+        delays, filter_bank, feedback, input_gains, impulse
+    )
+    out = (y @ output_gains.T).T
+    if direct_gains is not None:
+        out = out + direct_gains[:, None] * impulse[None, :]
+    return out

@@ -114,3 +114,103 @@ def test_directional_solver_runs(tmp_path):
     trainer, params = run_training_anisotropic_decay_var_receiver_pos(cfg, room)
     assert len(trainer.train_loss) == 1
     assert np.isfinite(trainer.train_loss).all()
+
+
+# ---------------------- time-domain synthesis from models ----------------------
+
+
+def _td_batch(nbins, batch=3, seed=0):
+    rng = np.random.RandomState(seed)
+    pos = rng.rand(batch, 3).astype(np.float32) * 4.0
+    return {
+        "z_values": np.exp(1j * np.linspace(0, np.pi, nbins)).astype(np.complex64),
+        "source_position": rng.rand(batch, 3).astype(np.float32),
+        "listener_position": pos,
+        "norm_listener_position": pos / 4.0,
+        "target_early_response": np.zeros((batch, nbins), np.complex64),
+    }
+
+
+def _td_model(use_svf, sos=None, gains=None, fs=8000.0):
+    from diffgfdn_tpu.models import DiffGFDNVarReceiverPos
+
+    return DiffGFDNVarReceiverPos(
+        sample_rate=fs,
+        num_groups=2,
+        delays=(163, 179, 191, 211),
+        gains=gains,
+        sos_coeffs=sos,
+        use_zero_coupling=False,
+        use_svf_in_output=use_svf,
+        num_hidden_layers=1,
+        num_neurons=16,
+        num_fourier_features=4,
+    )
+
+
+def test_time_domain_synthesis_matches_freq_path_filtered_absorption():
+    """Scalar-head model with GEQ absorption filters: the alias-free
+    time-domain synthesis matches irfft(H) of the training path."""
+    import jax
+
+    from diffgfdn_tpu.inference.gfdn_inference import (
+        make_rir_synthesis_fn,
+        make_time_domain_synthesis_fn,
+    )
+    from diffgfdn_tpu.ops.absorption import decay_times_to_gain_filters_geq
+    from diffgfdn_tpu.utils.cio import encode_batch, init_with_batch
+
+    fs = 8000.0
+    nfft = 8192
+    sos = decay_times_to_gain_filters_geq(
+        np.array([125.0, 250.0, 500.0, 1000.0, 2000.0]),
+        np.array([0.14, 0.11, 0.09, 0.07, 0.05]),
+        np.asarray((163, 179, 191, 211)),
+        fs,
+    )
+    model = _td_model(use_svf=False, sos=sos, fs=fs)
+    batch = _td_batch(nfft // 2 + 1)
+    params = init_with_batch(model, jax.random.PRNGKey(0), batch)
+
+    rir_fd = np.asarray(
+        make_rir_synthesis_fn(model)(params, encode_batch(batch))
+    )
+    rir_td = np.asarray(
+        make_time_domain_synthesis_fn(model, params, nfft)(batch)
+    )
+    assert rir_td.shape == rir_fd.shape
+    peak = np.max(np.abs(rir_fd))
+    assert np.max(np.abs(rir_td - rir_fd)) < 2e-3 * peak
+
+
+def test_time_domain_synthesis_svf_head_matches_freq_path():
+    """SVF-head (reference-default) model: loop runs alias-free in time
+    domain, output filters applied via padded rFFT — matches irfft(H)."""
+    import jax
+
+    from diffgfdn_tpu.inference.gfdn_inference import (
+        make_rir_synthesis_fn,
+        make_time_domain_synthesis_fn,
+    )
+    from diffgfdn_tpu.ops.absorption import decay_times_to_gain_per_sample
+    from diffgfdn_tpu.utils.cio import encode_batch, init_with_batch
+
+    fs = 8000.0
+    nfft = 8192
+    gains = np.asarray(
+        decay_times_to_gain_per_sample(
+            0.08, np.asarray((163, 179, 191, 211)), fs
+        )
+    )
+    model = _td_model(use_svf=True, gains=gains, fs=fs)
+    batch = _td_batch(nfft // 2 + 1)
+    params = init_with_batch(model, jax.random.PRNGKey(1), batch)
+
+    rir_fd = np.asarray(
+        make_rir_synthesis_fn(model)(params, encode_batch(batch))
+    )
+    rir_td = np.asarray(
+        make_time_domain_synthesis_fn(model, params, nfft)(batch)
+    )
+    peak = np.max(np.abs(rir_fd))
+    assert np.max(np.abs(rir_td - rir_fd)) < 5e-3 * peak
