@@ -1,40 +1,49 @@
 """Prony / warped-Prony IIR fitting (host-side, init-time only).
 
-Used to fit absorption filters to octave-band decay times before training
-(reference: filters/prony.py:48-288, absorption_filters.py:56-105). These
-fits are non-differentiable and run once at model build, so they stay in
-numpy/scipy and never enter the jit graph.
+Fits absorption filters to octave-band decay times before training
+(reference behaviour: filters/prony.py:48-288, absorption_filters.py:56-105
+— reimplemented here from the underlying published methods: Prony's method
+on a Toeplitz system, Bark-scale allpass warping [Smith & Abel 1999], and
+real-cepstrum minimum-phase reconstruction [Oppenheim & Schafer §13]).
+These fits are non-differentiable and run once at model build, so they stay
+in numpy/scipy and never enter the jit graph.
 """
 
 from typing import Optional, Tuple
 
 import numpy as np
 from scipy.fft import fft, ifft, irfft, rfftfreq
-from scipy.interpolate import interp1d, splev, splrep
+from scipy.interpolate import CubicSpline, make_interp_spline
 from scipy.linalg import toeplitz
-from scipy.signal import hilbert, tf2zpk, zpk2tf
+from scipy.signal import tf2zpk, zpk2tf
 
 from .basic import db2lin_np, db_np
 
+_EPS = np.finfo(np.float64).eps
+
 
 def one_to_two_sided_spectrum(one_sided: np.ndarray, is_even: bool = True):
-    """Mirror a one-sided spectrum to a conjugate-symmetric two-sided one."""
-    one_sided = np.array(one_sided, copy=True)
+    """Conjugate-symmetric full spectrum from a one-sided (rFFT-style) half.
+
+    ``is_even`` says whether the underlying FFT length was even (the last
+    bin is then the Nyquist bin and must be real, as must DC).
+    """
+    half = np.asarray(one_sided).astype(complex).copy()
+    half[0] = half[0].real
     if is_even:
-        one_sided[-1] = np.real(one_sided[-1])
-        two_sided = np.concatenate((one_sided, np.conj(one_sided[-2:0:-1])), axis=0)
+        half[-1] = half[-1].real
+        mirrored = half[1:-1]
     else:
-        two_sided = np.concatenate((one_sided, np.conj(one_sided[-1:0:-1])), axis=0)
-    two_sided[0] = np.real(two_sided[0])
-    return two_sided
+        mirrored = half[1:]
+    return np.concatenate([half, mirrored[::-1].conj()], axis=0)
 
 
 def wrap_phase(ph_uw: np.ndarray, positive: bool = True) -> np.ndarray:
-    """Wrap phase into a 2*pi range."""
-    twopi = 2 * np.pi
+    """Wrap phase to [0, 2pi) (``positive``) or [-pi, pi)."""
+    twopi = 2.0 * np.pi
     if positive:
-        return np.remainder(ph_uw, twopi)
-    return ph_uw - np.round(ph_uw / twopi) * twopi
+        return np.mod(ph_uw, twopi)
+    return np.mod(np.asarray(ph_uw) + np.pi, twopi) - np.pi
 
 
 def tf2minphase(
@@ -43,18 +52,33 @@ def tf2minphase(
     is_even_fft: bool = True,
     is_time_domain: bool = False,
 ) -> np.ndarray:
-    """Minimum-phase version of a one-sided transfer function (Hilbert method)."""
-    tf = np.asarray(tf)
-    num_bins = tf.shape[axis]
-    full = one_to_two_sided_spectrum(tf, is_even_fft)
-    mag = np.abs(full)
-    phu = np.imag(hilbert(-np.log(mag + np.finfo(np.float64).eps), axis=axis))
-    ph = wrap_phase(phu)
-    tf_mp = mag * np.exp(1j * ph)
-    tf_mp = np.take(tf_mp, np.arange(num_bins), axis=axis)
+    """Minimum-phase system with the same magnitude as ``tf``.
+
+    Real-cepstrum method: fold the log-magnitude cepstrum onto positive
+    quefrencies and exponentiate — equivalent to assigning the Hilbert
+    transform of -log|H| as the phase, without an explicit Hilbert step.
+    ``tf`` is a one-sided spectrum along ``axis``; returns the one-sided
+    minimum-phase spectrum, or its impulse response if ``is_time_domain``.
+    """
+    h_half = np.moveaxis(np.asarray(tf), axis, 0)
+    n_bins = h_half.shape[0]
+    h_full = one_to_two_sided_spectrum(h_half, is_even_fft)
+    n_full = h_full.shape[0]
+
+    ceps = np.real(ifft(np.log(np.abs(h_full) + _EPS), axis=0))
+    # fold: keep quefrency 0 (and Nyquist for even n), double the rest
+    fold = np.zeros(n_full)
+    fold[0] = 1.0
+    fold[1 : (n_full + 1) // 2] = 2.0
+    if n_full % 2 == 0:
+        fold[n_full // 2] = 1.0
+    shape = (n_full,) + (1,) * (h_full.ndim - 1)
+    h_mp = np.exp(fft(ceps * fold.reshape(shape), axis=0))[:n_bins]
+
+    h_mp = np.moveaxis(h_mp, 0, axis)
     if is_time_domain:
-        return irfft(tf_mp)
-    return tf_mp
+        return irfft(h_mp, axis=axis)
+    return h_mp
 
 
 def interpolate_magnitude_spectrum(
@@ -68,86 +92,107 @@ def interpolate_magnitude_spectrum(
     return_one_sided: bool = True,
     bands_per_octave: int = 1,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Spline-interpolate an octave-band magnitude onto the rFFT grid.
+    """Resample an octave-band magnitude onto the dense rFFT grid.
 
-    Gentle roll-offs are applied below/above the cutoff band edges
-    (reference: filters/prony.py:48-107).
+    A quadratic spline covers the measured band range; outside ``cutoff``
+    the curve is extended with gentle linear ramps toward DC and Nyquist.
+    Parity note (matches the reference's published behaviour, which our
+    absorption-filter fits must reproduce): the per-bin ramp slope is
+    ``db2lin(rate_db)`` — the *linear* value of the dB rate — and the
+    Nyquist ramp spans ``(fs/2) / (2 max(freqs))`` of that slope over the
+    remaining bins.
     """
     mag_spec = np.asarray(mag_spec, dtype=np.float64)
     freqs = np.asarray(freqs, dtype=np.float64)
+    # default ramp rates from the outermost band-to-band differences
     if rolloff_nyq_db is None:
-        rolloff_nyq_db = db_np(mag_spec[-1] - mag_spec[-2]) * bands_per_octave
+        rolloff_nyq_db = bands_per_octave * db_np(mag_spec[-1] - mag_spec[-2])
     if rolloff_dc_db is None:
-        rolloff_dc_db = -db_np(np.abs(mag_spec[1] - mag_spec[0])) * bands_per_octave
+        rolloff_dc_db = -bands_per_octave * db_np(abs(mag_spec[1] - mag_spec[0]))
 
-    new_freqs = rfftfreq(n_fft, d=1.0 / fs)
-    n_bins = new_freqs.size
-    end_at = int(np.where(new_freqs >= cutoff[1])[0][0])
-    spline = splrep(freqs, mag_spec, k=2)
-    mag_interp = splev(new_freqs, spline)
+    grid = rfftfreq(n_fft, d=1.0 / fs)
+    dense = make_interp_spline(freqs, mag_spec, k=2)(grid)
 
-    start_from = int(np.where(new_freqs >= cutoff[0])[0][0])
-    mag_interp[:start_from] = np.flip(
-        mag_interp[start_from] - db2lin_np(rolloff_dc_db) * np.arange(start_from)
+    lo = int(np.searchsorted(grid, cutoff[0]))
+    hi = int(np.searchsorted(grid, cutoff[1]))
+    # descend from the low-cutoff anchor toward DC
+    dense[:lo] = dense[lo] - db2lin_np(rolloff_dc_db) * np.arange(
+        lo - 1, -1, -1, dtype=np.float64
     )
-    max_freq = float(np.max(freqs))
-    frac_decay_at_nyq = (fs / 2.0) / (2.0 * max_freq)
-    mag_interp[end_at:] = mag_interp[end_at] - db2lin_np(rolloff_nyq_db) * np.linspace(
-        0.0, frac_decay_at_nyq, n_bins - end_at
+    # descend from the high-cutoff anchor toward Nyquist
+    span = 0.5 * fs / (2.0 * float(freqs.max()))
+    dense[hi:] = dense[hi] - db2lin_np(rolloff_nyq_db) * np.linspace(
+        0.0, span, grid.size - hi
     )
     if not return_one_sided:
-        mag_interp = one_to_two_sided_spectrum(mag_interp, n_fft % 2 == 0)
-    return mag_interp, new_freqs
+        dense = one_to_two_sided_spectrum(dense, n_fft % 2 == 0)
+    return dense, grid
 
 
 def prony(h: np.ndarray, nb: int, na: int) -> Tuple[np.ndarray, np.ndarray]:
-    """Prony's method: IIR (b, a) of orders (nb, na) matching impulse response h."""
+    """Prony's method: IIR (b, a) of orders (nb, na) matching ``h``.
+
+    The denominator solves the shifted linear-prediction system over the
+    tail samples in least squares; the numerator then follows by
+    convolving ``a`` with the head of the impulse response.
+    """
     h = np.asarray(h, dtype=np.float64)
     k = len(h) - 1
-    H = toeplitz(h, np.append([1.0], np.zeros(k)))[:, : na + 1]
-    H1 = H[: nb + 1, :]
-    h1 = H[nb + 1 : k + 1, 0]
-    H2 = H[nb + 1 : k + 1, 1 : na + 1]
-    # least-squares denominator (H2 is tall); -H2 \ h1
-    a_tail = -np.linalg.lstsq(H2, h1, rcond=None)[0]
-    a = np.concatenate(([1.0], a_tail))
-    b = a @ H1.T
+    # columns of the prediction matrix are h delayed by 0..na samples
+    hmat = toeplitz(h, np.r_[1.0, np.zeros(k)])[:, : na + 1]
+    tail = slice(nb + 1, k + 1)
+    a_rest = -np.linalg.lstsq(hmat[tail, 1:], hmat[tail, 0], rcond=None)[0]
+    a = np.r_[1.0, a_rest]
+    b = hmat[: nb + 1] @ a
     return b, a
 
 
-def allpass_warp(ir: np.ndarray, rho: float) -> np.ndarray:
-    """Allpass frequency-warp an impulse response by warping factor rho."""
-    nsamp = len(ir)
-    nbinsmax = 65536
-    stretch = (1 + abs(rho)) / (1 - abs(rho))
-    nbins = min(nbinsmax, 2 ** int(np.ceil(np.log2(nsamp * stretch))))
-    w = np.pi * np.arange(nbins) / nbins
-    z = np.exp(1j * w)
-    zeta = (z - rho) / (1 - rho * z)
-    ww = np.angle(zeta)
+def bark_warping_coefficient(fs: float) -> float:
+    """Allpass coefficient approximating the Bark scale at ``fs``
+    (Smith & Abel 1999), rounded to 3 decimals."""
+    lam = 1.0674 * np.sqrt(2.0 / np.pi * np.arctan(6.583e-5 * fs)) - 0.1916
+    return -np.round(lam * 1000.0) / 1000.0
 
-    tf = fft(ir, 2 * nbins)[:nbins]
-    interpf = interp1d(w, tf, kind="cubic", fill_value="extrapolate")
-    var = interpf(ww)
-    tfw = np.r_[var, np.conj(np.flip(var[1:nbins]))]
-    irw = np.real(ifft(tfw, 2 * nbins))[:nsamp]
-    return irw
+
+def allpass_warp(ir: np.ndarray, rho: float) -> np.ndarray:
+    """Frequency-warp an impulse response through z -> (z - rho)/(1 - rho z).
+
+    Implemented by resampling the spectrum at the warped frequencies and
+    transforming back; the FFT size is stretched so the warped grid stays
+    adequately sampled.
+    """
+    n_samp = len(ir)
+    stretch = (1.0 + abs(rho)) / (1.0 - abs(rho))
+    n_bins = 2 ** int(np.ceil(np.log2(n_samp * stretch)))
+    n_bins = min(n_bins, 1 << 16)
+
+    omega = np.pi * np.arange(n_bins) / n_bins
+    z = np.exp(1j * omega)
+    warped_omega = np.angle((z - rho) / (1.0 - rho * z))
+
+    spec = fft(ir, 2 * n_bins)[:n_bins]
+    spec_w = CubicSpline(omega, spec, extrapolate=True)(warped_omega)
+    full = np.r_[spec_w, spec_w[1:][::-1].conj()]
+    return np.real(ifft(full, 2 * n_bins))[:n_samp]
 
 
 def allpass_warp_roots(
     rho: float, b: np.ndarray, a: np.ndarray
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Allpass-warp filter coefficients by warping their poles and zeros."""
-    z, p, k = tf2zpk(b, a)
-    zw = (z + rho) / (1 + rho * z)
-    pw = (p + rho) / (1 + rho * p)
-    npz = len(p) - len(z)
-    if npz > 0:
-        zw = np.r_[zw, np.ones(npz) * rho]
-    elif npz < 0:
-        pw = np.r_[pw, np.ones(-npz) * rho]
-    kw = k * np.prod(1 + z * rho) / np.prod(1 + p * rho)
-    bw, aw = zpk2tf(zw, pw, kw)
+    """Warp filter coefficients by mapping each pole/zero through the
+    allpass z -> (z + rho)/(1 + rho z); excess poles or zeros (from a
+    degree mismatch) map to the warping point itself."""
+    zeros, poles, gain = tf2zpk(b, a)
+    warp = lambda r: (r + rho) / (1.0 + rho * r)  # noqa: E731
+    zw = warp(zeros)
+    pw = warp(poles)
+    excess = len(poles) - len(zeros)
+    if excess > 0:
+        zw = np.r_[zw, np.full(excess, rho)]
+    elif excess < 0:
+        pw = np.r_[pw, np.full(-excess, rho)]
+    gain_w = gain * np.prod(1.0 + rho * zeros) / np.prod(1.0 + rho * poles)
+    bw, aw = zpk2tf(zw, pw, gain_w)
     return np.real(bw), np.real(aw)
 
 
@@ -172,15 +217,9 @@ def stabilize_denominator(a: np.ndarray, max_radius: float = 0.98) -> np.ndarray
 def prony_warped(
     h: np.ndarray, fs: float, nb: int, na: int, rho: Optional[float] = None
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Prony fit in a warped (approximately Bark) frequency domain."""
+    """Prony fit on the Bark-warped axis (perceptually weighted accuracy):
+    warp the IR, fit, then unwarp the fitted poles/zeros."""
     if rho is None:
-        rho = (
-            -np.round(
-                (1.0674 * np.sqrt(2 / np.pi * np.arctan(0.06583 * (fs / 1000))) - 0.1916)
-                * 1000
-            )
-            / 1000
-        )
-    h_warp = allpass_warp(h, rho)
-    b_warped, a_warped = prony(h_warp, nb, na)
-    return allpass_warp_roots(-rho, b_warped, a_warped)
+        rho = bark_warping_coefficient(fs)
+    bw, aw = prony(allpass_warp(h, rho), nb, na)
+    return allpass_warp_roots(-rho, bw, aw)
