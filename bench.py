@@ -6,9 +6,16 @@ EDC + EDR losses, Adam. The baseline is an algorithmically equivalent
 PyTorch-CPU train step (the reference's eager formulation: complex
 torch.linalg.inv over all bins + einsum + irfft/STFT losses + backward).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": steps/sec on TPU, "unit": "steps/sec",
-   "vs_baseline": TPU-steps-per-sec / torch-CPU-steps-per-sec}
+Three measurements:
+  1. scalar-head train step (headline, comparable across rounds),
+  2. SVF-output-head train step (+reg loss) — the reference's DEFAULT
+     OutputFilterConfig — vs an equivalent torch-CPU SVF step,
+  3. 2-s RIR synthesis x-realtime per chip (838 receivers, GEQ-filtered
+     absorption, alias-free time-domain core) vs the BASELINE.md
+     >= 1000x-real-time north-star target.
+
+Prints ONE JSON line: the headline metric plus an ``extra_metrics`` list
+carrying the other two.
 """
 
 import json
@@ -139,6 +146,305 @@ def bench_tpu(steps: int = 24):
     return 1.0 / dt
 
 
+def bench_tpu_svf(steps: int = 12):
+    """SVF-output-head flagship train step (+ aliasing reg loss) on TPU.
+
+    This is the reference's default head (OutputFilterConfig.use_svfs=True,
+    gain_filters.py:262-433): the MLP emits (resonance, gain-dB) grids per
+    group, converted to biquad cascades and evaluated at all 65537 bins.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from diffgfdn_tpu.config.schema import TrainerConfig
+    from diffgfdn_tpu.data.batching import BatchArrays
+    from diffgfdn_tpu.models import DiffGFDNVarReceiverPos
+    from diffgfdn_tpu.ops.absorption import decay_times_to_gain_per_sample
+    from diffgfdn_tpu.training.optim import make_optimizer
+    from diffgfdn_tpu.training.trainer import GFDNTrainer
+    from diffgfdn_tpu.utils.cio import init_with_batch
+    from diffgfdn_tpu.utils.placement import placement_is_tpu
+
+    f = NFFT // 2 + 1
+    gains = []
+    for k in range(NUM_GROUPS):
+        d = np.asarray(DELAYS[4 * k : 4 * k + 4])
+        gains.append(np.asarray(decay_times_to_gain_per_sample(T60S[k], d, FS)))
+    model = DiffGFDNVarReceiverPos(
+        sample_rate=FS,
+        num_groups=NUM_GROUPS,
+        delays=DELAYS,
+        gains=np.concatenate(gains),
+        use_svf_in_output=True,
+        num_hidden_layers=3,
+        num_neurons=128,
+        num_fourier_features=10,
+        use_pallas_inverse=placement_is_tpu(),
+    )
+    cfg = TrainerConfig(
+        batch_size=BATCH, num_freq_bins=NFFT, max_epochs=1, lr=1e-3,
+        use_reg_loss=True,
+    )
+    raw = make_batch(f)
+    arrays = BatchArrays(
+        z_values=raw["z_values"],
+        source_position=raw["source_position"],
+        listener_position=raw["listener_position"],
+        norm_listener_position=raw["norm_listener_position"],
+        target_early_response=raw["target_early_response"],
+        target_late_response=raw["target_rir_response"],
+        target_rir_response=raw["target_rir_response"],
+    )
+    trainer = GFDNTrainer(
+        model, cfg, steps_per_epoch=21, common_decay_times=np.asarray(T60S),
+        sample_rate=FS,
+    )
+    log("svf: precomputing target features...")
+    trainer.precompute_target_features(arrays)
+    params = init_with_batch(model, jax.random.PRNGKey(0), raw)
+    trainer.optimizer = make_optimizer(cfg, params, 21)
+    opt_state = trainer.optimizer.init(params)
+    key = jax.random.PRNGKey(1)
+    data = trainer.upload_arrays(arrays)
+    step = jax.jit(trainer._make_indexed_step(True))
+    idx = jnp.arange(BATCH, dtype=jnp.int32)
+
+    log("compiling svf train step...")
+    t0 = time.time()
+    params, opt_state, total, _ = step(params, opt_state, data, idx, key)
+    total.block_until_ready()
+    log(f"svf compile+first step: {time.time() - t0:.1f}s, loss={float(total):.3f}")
+
+    times = []
+    for _ in range(4):
+        t0 = time.time()
+        for _ in range(steps):
+            params, opt_state, total, _ = step(params, opt_state, data, idx, key)
+        total.block_until_ready()
+        times.append((time.time() - t0) / steps)
+    dt = float(np.min(times))
+    log(
+        f"svf tpu step: best {dt * 1e3:.1f} ms (median {np.median(times)*1e3:.1f})"
+        f" -> {1.0 / dt:.2f} steps/s"
+    )
+    return 1.0 / dt
+
+
+def bench_synthesis_tpu(dur_s: float = 2.0, num_receivers: int = 838):
+    """2-s RIR synthesis x-realtime: 838 receivers, GEQ-filtered absorption,
+    alias-free time-domain core, one chip. BASELINE.md target: >= 1000x."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffgfdn_tpu.kernels.tdgfdn import (
+        filter_bank_from_sos,
+        synthesize_rirs_time_domain_filtered,
+    )
+    from diffgfdn_tpu.ops.absorption import decay_times_to_gain_filters_geq
+
+    t_len = int(dur_s * FS)
+    band_centre = 62.5 * 2.0 ** np.arange(8)
+    rng = np.random.RandomState(0)
+    t60s = np.stack([
+        np.linspace(t * 1.4, t * 0.5, len(band_centre)) for t in T60S
+    ])  # (G, bands): realistic LF-heavy decay
+    sos = np.concatenate([
+        decay_times_to_gain_filters_geq(
+            band_centre, t60s[g], np.asarray(DELAYS[4 * g : 4 * g + 4]), FS
+        )
+        for g in range(NUM_GROUPS)
+    ])  # (12, 11, 3, 2)
+    bank = filter_bank_from_sos(sos, DELAYS)
+    a = np.linalg.qr(rng.randn(len(DELAYS), len(DELAYS)))[0].astype(np.float32)
+    b = rng.randn(len(DELAYS)).astype(np.float32)
+    c = rng.randn(num_receivers, len(DELAYS)).astype(np.float32) / np.sqrt(12)
+
+    synth = jax.jit(
+        lambda cg: synthesize_rirs_time_domain_filtered(
+            DELAYS, bank, jnp.asarray(a), jnp.asarray(b), cg, t_len
+        )
+    )
+    log("compiling synthesis...")
+    t0 = time.time()
+    out = synth(jnp.asarray(c))
+    out.block_until_ready()
+    log(f"synthesis compile+first: {time.time() - t0:.1f}s")
+
+    # chain calls through the data so the tunnel's replay cache can't elide
+    # repeated identical executions
+    cg = jnp.asarray(c)
+    steps, reps = 4, 3
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        for _ in range(steps):
+            out = synth(cg)
+            cg = cg + 1e-12 * out[:, : len(DELAYS)]
+        out.block_until_ready()
+        times.append((time.time() - t0) / steps)
+    dt = float(np.min(times))
+    xrt = num_receivers * dur_s / dt
+    log(
+        f"synthesis: best {dt * 1e3:.1f} ms for {num_receivers} x {dur_s:.0f}s "
+        f"RIRs -> {xrt:,.0f}x real time"
+    )
+    return xrt
+
+
+def bench_torch_cpu_svf(steps: int = 2):
+    """Equivalent eager PyTorch-CPU SVF-head train step (reference default).
+
+    Same shape of work as the reference's SVF_from_MLP path
+    (gain_filters.py:262-433): MLP -> (B, G, K, 2) SVF params -> biquad
+    cascade -> response at all bins -> per-line output filters -> H -> EDC
+    + EDR losses -> backward.
+    """
+    import os
+
+    import torch
+
+    torch.manual_seed(0)
+    torch.set_num_threads(os.cpu_count())
+    f = NFFT // 2 + 1
+    n = len(DELAYS)
+    nper = n // NUM_GROUPS
+    n_sections = 10
+    delays = torch.tensor(DELAYS, dtype=torch.float32)
+    gains = []
+    for k in range(NUM_GROUPS):
+        d = np.asarray(DELAYS[4 * k : 4 * k + 4])
+        gains.append(10.0 ** (-3.0 * d / (FS * T60S[k])))
+    gamma = torch.tensor(np.concatenate(gains), dtype=torch.float32)
+
+    m_param = torch.randn(NUM_GROUPS, nper, nper, requires_grad=True)
+    b_gain = torch.randn(n, 1, requires_grad=True)
+    c_gain = torch.randn(n, 1, requires_grad=True)
+    mlp = torch.nn.Sequential(
+        torch.nn.Linear(60, 128), torch.nn.LayerNorm(128), torch.nn.ReLU(),
+        torch.nn.Linear(128, 128), torch.nn.LayerNorm(128), torch.nn.ReLU(),
+        torch.nn.Linear(128, 128), torch.nn.LayerNorm(128), torch.nn.ReLU(),
+        torch.nn.Linear(128, 128), torch.nn.LayerNorm(128), torch.nn.ReLU(),
+        torch.nn.Linear(128, NUM_GROUPS * n_sections * 2),
+    )
+    opt = torch.optim.Adam(
+        [m_param, b_gain, c_gain] + list(mlp.parameters()), lr=1e-3
+    )
+
+    batch = make_batch(f)
+    z = torch.tensor(batch["z_values"])
+    zinv = 1.0 / z
+    zinv2 = zinv * zinv
+    pos = torch.tensor(batch["norm_listener_position"])
+    target = torch.tensor(batch["target_rir_response"])
+    freqs = torch.exp(torch.linspace(np.log(1.0), np.log(32.0), 10))
+    cutoffs = torch.tensor(
+        np.pi * 62.5 * 2.0 ** np.arange(n_sections) / FS, dtype=torch.float32
+    )
+    mix_samps = int(0.02 * FS)
+    max_len = int(1.1 * FS)
+
+    def step():
+        opt.zero_grad()
+        phase = freqs[None, :, None] * np.pi * pos[:, None, :]
+        enc = torch.cat([torch.sin(phase), torch.cos(phase)], dim=-1).reshape(
+            BATCH, -1
+        )
+        raw = mlp(enc).reshape(BATCH, NUM_GROUPS, n_sections, 2)
+        res = torch.sigmoid(raw[..., 0]).clamp(1e-6, 1.0)
+        g_db = 12.0 * torch.sigmoid(raw[..., 1]) - 6.0
+        g_lin = 10.0 ** (g_db / 20.0)
+        # peaking-style SVF->biquad (same op count class as the reference)
+        gfac = torch.tan(cutoffs)[None, None, :]
+        b0 = 1.0 + g_lin * gfac / res
+        b1 = 2.0 * (gfac ** 2 - 1.0).expand_as(b0)
+        b2 = 1.0 - g_lin * gfac / res
+        a0 = 1.0 + gfac / res
+        a1 = b1
+        a2 = 1.0 - gfac / res
+        # cascade response at all bins: (B, G, F)
+        resp = torch.ones(BATCH, NUM_GROUPS, f, dtype=torch.complex64)
+        for k in range(n_sections):
+            num = (
+                b0[..., k, None] + b1[..., k, None] * zinv
+                + b2[..., k, None] * zinv2
+            )
+            den = (
+                a0[..., k, None] + a1[..., k, None] * zinv
+                + a2[..., k, None] * zinv2
+            )
+            resp = resp * (num / den)
+
+        skew = torch.triu(m_param, 1)
+        skew = skew - skew.transpose(-1, -2)
+        o = torch.matrix_exp(skew)
+        block = torch.einsum("gab,hbc->gahc", o, o).reshape(n, n)
+        a = block.to(torch.complex64)
+        d_diag = z[:, None] ** delays[None, :] / gamma[None, :]
+        m = torch.diag_embed(d_diag) - a[None]
+        p = torch.linalg.inv(m)
+
+        c_line = (
+            resp.repeat_interleave(nper, dim=1)
+            * c_gain.to(torch.complex64)[None, :, 0, None]
+        )  # (B, N, F)
+        b_vec = b_gain.to(torch.complex64)[:, 0]
+        pb = torch.einsum("fnm,m->fn", p, b_vec)  # (F, N)
+        h = torch.einsum("bnf,fn->bf", c_line, pb)
+
+        tgt_rir = torch.fft.irfft(target, NFFT)[..., mix_samps:max_len]
+        ach_rir = torch.fft.irfft(h, NFFT)[..., mix_samps:max_len]
+
+        def edc(x):
+            return torch.flip(
+                torch.cumsum(torch.flip(x ** 2, dims=[-1]), dim=-1), dims=[-1]
+            )
+
+        loss_edc = torch.mean(
+            torch.abs(
+                10 * torch.log10(edc(tgt_rir) + 1e-9)
+                - 10 * torch.log10(edc(ach_rir) + 1e-9)
+            )
+        )
+        win = torch.hann_window(4096)
+        s_t = torch.stft(
+            torch.fft.irfft(target, NFFT), 4096, 2048, window=win,
+            center=False, return_complex=True,
+        )
+        s_a = torch.stft(
+            torch.fft.irfft(h, NFFT), 4096, 2048, window=win,
+            center=False, return_complex=True,
+        )
+
+        def edr(s):
+            p_ = torch.abs(s) ** 2
+            return 10 * torch.log10(
+                torch.flip(
+                    torch.cumsum(torch.flip(p_, dims=[-1]), dim=-1), dims=[-1]
+                )
+                + 1e-9
+            )
+
+        loss_edr = torch.sum(torch.abs(edr(s_t) - edr(s_a))) / torch.sum(
+            torch.abs(edr(s_t))
+        )
+        loss = loss_edc + loss_edr
+        loss.backward()
+        opt.step()
+        return float(loss.detach())
+
+    t0 = time.time()
+    step()
+    log(f"torch svf warmup step: {time.time() - t0:.1f}s")
+    times = []
+    for _ in range(steps):
+        t0 = time.time()
+        step()
+        times.append(time.time() - t0)
+    dt = float(np.min(times))
+    log(f"torch cpu svf step: best {dt:.2f} s -> {1.0 / dt:.3f} steps/s")
+    return 1.0 / dt
+
+
 def bench_torch_cpu(steps: int = 3):
     """Equivalent eager PyTorch-CPU train step (the reference's formulation)."""
     import os
@@ -261,12 +567,49 @@ def bench_torch_cpu(steps: int = 3):
 
 def main():
     tpu_sps = bench_tpu()
+    extra = []
+
+    try:
+        svf_sps = bench_tpu_svf()
+    except Exception as e:  # noqa: BLE001
+        log("svf tpu bench failed:", e)
+        svf_sps = None
+    try:
+        xrt = bench_synthesis_tpu()
+        extra.append(
+            {
+                "metric": "rir_synthesis_x_realtime",
+                "value": round(xrt, 0),
+                "unit": "x_realtime_2s_838rec_per_chip",
+                "vs_baseline": round(xrt / 1000.0, 2),  # >=1000x target
+            }
+        )
+    except Exception as e:  # noqa: BLE001
+        log("synthesis bench failed:", e)
+
     try:
         cpu_sps = bench_torch_cpu()
         vs = tpu_sps / cpu_sps
     except Exception as e:  # noqa: BLE001
         log("torch baseline failed:", e)
         vs = None
+    if svf_sps is not None:
+        try:
+            cpu_svf_sps = bench_torch_cpu_svf()
+            svf_vs = svf_sps / cpu_svf_sps
+        except Exception as e:  # noqa: BLE001
+            log("torch svf baseline failed:", e)
+            svf_vs = None
+        extra.insert(
+            0,
+            {
+                "metric": "svf_head_train_steps_per_sec",
+                "value": round(svf_sps, 3),
+                "unit": "steps/sec",
+                "vs_baseline": None if svf_vs is None else round(svf_vs, 2),
+            },
+        )
+
     print(
         json.dumps(
             {
@@ -274,6 +617,7 @@ def main():
                 "value": round(tpu_sps, 3),
                 "unit": "steps/sec",
                 "vs_baseline": None if vs is None else round(vs, 2),
+                "extra_metrics": extra,
             }
         )
     )
