@@ -86,66 +86,119 @@ def training(configs, room_data=None):
         run_training_var_receiver_pos(cfg, room_data=room_data)
 
 
+def _architecture_key(cfg) -> Tuple:
+    """Static fields that determine the vmapped parameter shapes."""
+    oc = cfg.output_filter_config
+    return (
+        oc.num_hidden_layers,
+        oc.num_neurons_per_layer,
+        oc.num_fourier_features,
+        oc.use_svfs,
+        cfg.num_delay_lines,
+        cfg.num_groups,
+    )
+
+
 def training_band_parallel(configs, room_data=None):
-    """All bands in one (band x batch)-sharded program (TPU-native path)."""
+    """All bands in (band x batch)-sharded programs (TPU-native path).
+
+    Semantic parity with the reference's per-band jobs
+    (run_subband_training_treble.py:175-204): per-band MLP architectures
+    are honoured by GROUPING bands with the same architecture into one
+    vmapped program each (a vmapped band axis needs one parameter shape);
+    every band keeps its own seed, the full loss stack (incl. colorless),
+    a validation split, per-band early stopping, and per-epoch checkpoints
+    in its own train_dir.
+    """
     import jax
 
-    from ..data.batching import arrays_from_room_dataset, iterate_batches
+    from ..data.batching import (
+        arrays_from_room_dataset,
+        iterate_batches,
+        train_valid_split,
+    )
     from ..data.room_dataset import ThreeRoomDataset
     from ..ops.filterbanks import subband_filter_response
     from ..parallel import BandParallelTrainer
     from ..training.build import build_gfdn_model
     from ..training.checkpoints import save_checkpoint
 
-    cfg0 = configs[0]
     if room_data is None:
         room_data = ThreeRoomDataset(
-            cfg0.room_dataset_path, nfft=cfg0.trainer_config.num_freq_bins
+            configs[0].room_dataset_path,
+            nfft=configs[0].trainer_config.num_freq_bins,
         )
-    model = build_gfdn_model(
-        cfg0,
-        common_decay_times=room_data.common_decay_times,
-        band_centre_hz=room_data.band_centre_hz,
-        variant="var_receiver",
-    )
-    band_resps = np.stack(
-        [
-            subband_filter_response(
-                c.trainer_config.subband_process_config.centre_frequency,
-                c.trainer_config.subband_process_config.frequency_range,
-                c.trainer_config.subband_process_config.num_fraction_octaves,
-                c.sample_rate,
-                c.trainer_config.num_freq_bins,
-            )
-            for c in configs
-        ]
-    )
     arrays = arrays_from_room_dataset(room_data)
-    idx = np.arange(arrays.num_items)
-    bs = min(cfg0.trainer_config.batch_size, len(idx))
 
-    trainer = BandParallelTrainer(
-        model,
-        cfg0.trainer_config,
-        band_resps,
-        steps_per_epoch=max(1, len(idx) // bs),
-        max_ir_len_ms=float(np.max(room_data.common_decay_times)) * 1e3,
-    )
-    example = next(iter(iterate_batches(arrays, idx, bs, shuffle=False)))
-    params, opt_state = trainer.init(example, seed=cfg0.seed)
-    # device-resident data: one upload, on-device batch gathers per step
-    params, opt_state, history = trainer.fit_indexed(
-        params, opt_state, arrays, train_idx=idx,
-        max_epochs=cfg0.trainer_config.max_epochs, seed=cfg0.seed,
-    )
-    # save per-band checkpoints in each band's train_dir
-    for b, cfg in enumerate(configs):
-        band_params = jax.tree_util.tree_map(lambda x: np.asarray(x[b]), params)
-        save_checkpoint(
-            cfg.trainer_config.train_dir, cfg.trainer_config.max_epochs - 1,
-            band_params,
+    groups: Dict[Tuple, list] = {}
+    for cfg in configs:
+        groups.setdefault(_architecture_key(cfg), []).append(cfg)
+
+    histories = []
+    for arch_key, group in groups.items():
+        cfg0 = group[0]
+        model = build_gfdn_model(
+            cfg0,
+            common_decay_times=room_data.common_decay_times,
+            band_centre_hz=room_data.band_centre_hz,
+            variant="var_receiver",
         )
-    return history
+        band_resps = np.stack(
+            [
+                subband_filter_response(
+                    c.trainer_config.subband_process_config.centre_frequency,
+                    c.trainer_config.subband_process_config.frequency_range,
+                    c.trainer_config.subband_process_config.num_fraction_octaves,
+                    c.sample_rate,
+                    c.trainer_config.num_freq_bins,
+                )
+                for c in group
+            ]
+        )
+        # one train/valid split shared by the group (delta vs the
+        # reference's per-band splits: one program = one index stream)
+        indices = np.arange(arrays.num_items)
+        train_idx, valid_idx = train_valid_split(
+            indices, cfg0.trainer_config.train_valid_split, seed=cfg0.seed
+        )
+        bs = min(cfg0.trainer_config.batch_size, max(1, len(train_idx)))
+
+        trainer = BandParallelTrainer(
+            model,
+            cfg0.trainer_config,
+            band_resps,
+            steps_per_epoch=max(1, len(train_idx) // bs),
+            max_ir_len_ms=float(np.max(room_data.common_decay_times)) * 1e3,
+        )
+        example = next(
+            iter(iterate_batches(arrays, train_idx, bs, shuffle=False))
+        )
+        params, opt_state = trainer.init(
+            example, seeds=[c.seed for c in group]
+        )
+
+        def on_epoch(epoch, ep_params, train_losses, valid_losses, active):
+            for b, cfg in enumerate(group):
+                if active[b] == 0.0 and epoch > 0:
+                    continue  # band already stopped; its last ckpt stands
+                band_params = jax.tree_util.tree_map(
+                    lambda x: np.asarray(x[b]), ep_params
+                )
+                save_checkpoint(cfg.trainer_config.train_dir, epoch, band_params)
+
+        # device-resident data: one upload, on-device batch gathers per step
+        params, opt_state, history = trainer.fit_indexed(
+            params, opt_state, arrays,
+            train_idx=train_idx, valid_idx=valid_idx,
+            max_epochs=cfg0.trainer_config.max_epochs, seed=cfg0.seed,
+            on_epoch=on_epoch,
+        )
+        histories.append(history)
+        logging.getLogger("diffgfdn_tpu").info(
+            "band group %s: %d bands, %d epochs, final per-band train loss %s",
+            arch_key, len(group), history.shape[0], history[-1],
+        )
+    return histories
 
 
 def inferencing(configs, room_data=None, rec_indices=None):
@@ -187,7 +240,6 @@ def main(argv=None):
         create_config(
             f, args.dataset, args.train_dir, args.num_freq_bins,
             max_epochs=args.max_epochs,
-            use_colorless_loss=not args.band_parallel,
         )
         for f in args.freqs
     ]

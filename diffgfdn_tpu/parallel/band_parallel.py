@@ -1,24 +1,35 @@
 """Band-parallel ("expert"-parallel) GFDN training.
 
 The reference trains the 8 octave-band GFDNs as independent python jobs
-(run_subband_training_treble.py:175-204). Here all bands train in ONE XLA
+(run_subband_training_treble.py:175-204). Here bands train in ONE XLA
 program: parameters carry a leading band axis sharded over the mesh's
 ``band`` axis, receiver batches shard over ``batch``, and the per-band
 subband filter response rides along as a banded constant. Gradients never
 cross bands; the only collectives are GSPMD's data-parallel reductions.
+
+Semantic parity with the reference's per-band jobs:
+* per-band seeds (each band's PRNG stream matches its solo run's init);
+* the full loss stack including the colorless spectral + sparsity terms;
+* a per-band validation loop and PER-BAND early stopping — a stopped band
+  has its parameter updates masked to zero while the remaining bands keep
+  training (one program, no recompilation), mirroring trainer.py:417-424.
+
+Heterogeneous per-band MLP architectures are handled one level up (the
+subband CLI groups bands by architecture and runs one band-parallel
+program per group) since a vmapped band axis needs one parameter shape.
 """
 
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from jax.sharding import PartitionSpec as P
 
 from ..config.schema import TrainerConfig
-from ..losses import edc_loss, edr_loss
+from ..losses import amse_loss, edc_loss, edr_loss, mse_loss, sparsity_loss
 from ..ops.basic import ms_to_samps
+from ..ops.unitary import orthogonal_from_skew
 from ..utils.cio import decode_batch, encode_batch
 from .mesh import band_sharding, batch_sharding, make_mesh, replicated
 
@@ -31,16 +42,20 @@ def make_band_loss_fn(
     edr_win: int,
     edr_hop: int,
 ) -> Callable:
-    """Single-band loss: EDC + EDR on the band-filtered response."""
+    """Single-band loss: EDC + EDR on the band-filtered response, plus the
+    colorless spectral/sparsity pair when the model trains with it
+    (parity with GFDNTrainer._losses / reference trainer.py:56-110)."""
     mixing = ms_to_samps(20.0, sample_rate)
     max_len = ms_to_samps(max_ir_len_ms, sample_rate)
 
     def loss_fn(params, batch, band_resp, key):
         # band_resp arrives re/im stacked (F, 2): complex buffers can't
         # cross the jit boundary on this TPU backend
-        h = model.apply(params, batch)
+        out = model.apply(params, batch)
         if model.use_colorless_loss:
-            h = h[0]
+            h, h_sub = out
+        else:
+            h, h_sub = out, None
         resp = (band_resp[..., 0] + 1j * band_resp[..., 1]).astype(jnp.complex64)
         h = h * resp
         target = batch["target_rir_response"] * resp
@@ -58,7 +73,24 @@ def make_band_loss_fn(
             max_len,
             mask_key=key if cfg.use_edc_mask else None,
         )
-        return l_edr + l_edc, {"edr_loss": l_edr, "edc_loss": l_edc}
+        total = l_edr + l_edc
+        aux = {"edr_loss": l_edr, "edc_loss": l_edc}
+        if h_sub is not None:
+            h_out = h_sub[0]  # (F, G)
+            spectral_fn = amse_loss if cfg.use_asym_spectral_loss else mse_loss
+            spectral = 0.0
+            for k in range(model.num_groups):
+                spectral += cfg.spectral_loss_weight * spectral_fn(
+                    h_out[..., k], jnp.ones_like(jnp.abs(h_out[..., k]))
+                )
+            m = params["params"]["feedback_loop"]["M"]
+            sparsity = cfg.sparsity_loss_weight * sparsity_loss(
+                orthogonal_from_skew(m)[-1]
+            )
+            aux["spectral_loss"] = spectral
+            aux["sparsity_loss"] = sparsity
+            total = total + spectral + sparsity
+        return total, aux
 
     return loss_fn
 
@@ -67,9 +99,12 @@ class BandParallelTrainer:
     """Trains ``num_bands`` identical-architecture GFDNs in one program.
 
     The per-band models share one architecture (static config) but have
-    independent parameters and subband filters. Each optimizer step is a
-    single jitted computation over the (band, batch) mesh.
+    independent parameters, seeds, and subband filters. Each optimizer
+    step is a single jitted computation over the (band, batch) mesh.
     """
+
+    patience: int = 5
+    early_stop_tol: float = 1e-3
 
     def __init__(
         self,
@@ -100,10 +135,27 @@ class BandParallelTrainer:
         )
         self.optimizer: Optional[optax.GradientTransformation] = None
         self._loss_fn = loss_fn
+        # per-band loss histories (filled by fit_indexed)
+        self.train_loss: List[np.ndarray] = []
+        self.valid_loss: List[np.ndarray] = []
 
-    def init(self, example_batch: Dict, seed: int = 0):
-        """Per-band params (leading band axis) + opt state, band-sharded."""
-        keys = jax.random.split(jax.random.PRNGKey(seed), self.num_bands)
+    def init(
+        self,
+        example_batch: Dict,
+        seed: int = 0,
+        seeds: Optional[Sequence[int]] = None,
+    ):
+        """Per-band params (leading band axis) + opt state, band-sharded.
+
+        ``seeds``: one PRNG seed per band (parity with the reference's
+        per-band jobs, each seeded from its own config). Falls back to
+        splitting ``seed``.
+        """
+        if seeds is not None:
+            assert len(seeds) == self.num_bands
+            keys = jnp.stack([jax.random.PRNGKey(int(s)) for s in seeds])
+        else:
+            keys = jax.random.split(jax.random.PRNGKey(seed), self.num_bands)
         enc = encode_batch(example_batch)
 
         @jax.jit
@@ -129,39 +181,44 @@ class BandParallelTrainer:
         loss_fn = self._loss_fn
         optimizer = self.optimizer
 
-        def band_step(params, opt_state, enc_batch, band_resp, key):
+        def band_step(params, opt_state, enc_batch, band_resp, key, active):
             batch = decode_batch(enc_batch)
             (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, batch, band_resp, key
             )
             updates, opt_state = optimizer.update(grads, opt_state, params)
+            # per-band early stopping: a stopped band's updates are masked
+            # to zero, freezing its parameters exactly while the program
+            # keeps one compiled shape
+            updates = jax.tree_util.tree_map(lambda u: u * active, updates)
             params = optax.apply_updates(params, updates)
             return params, opt_state, total, aux
 
+        def band_valid(params, enc_batch, band_resp, key):
+            batch = decode_batch(enc_batch)
+            return loss_fn(params, batch, band_resp, key)
+
         stepped = jax.vmap(
-            band_step, in_axes=(0, 0, None, 0, None), out_axes=(0, 0, 0, 0)
+            band_step,
+            in_axes=(0, 0, None, 0, None, 0),
+            out_axes=(0, 0, 0, 0),
         )
-
-        mesh = self.mesh
-        bsh = band_sharding(mesh)
-        repl = replicated(mesh)
-        dsh = batch_sharding(mesh)
-
-        def batch_shardings(batch):
-            out = {}
-            for k in batch:
-                out[k] = repl if k in ("z_values", "mesh_2d") else dsh
-            return out
+        vstepped = jax.vmap(band_valid, in_axes=(0, None, 0, None))
 
         self._stepped = stepped
+        self._vstepped = vstepped
         self._jitted = {}
         # band responses ride along every step: upload ONCE (band-sharded)
         # instead of re-transferring the numpy constant per call
-        self._band_resps_dev = jax.device_put(self.band_responses, bsh)
+        self._band_resps_dev = jax.device_put(
+            self.band_responses, band_sharding(self.mesh)
+        )
 
-    def step(self, params, opt_state, batch: Dict, key):
+    def step(self, params, opt_state, batch: Dict, key, active=None):
         """One band-parallel optimizer step (compiles once per batch shape)."""
         enc = encode_batch(batch)
+        if active is None:
+            active = jnp.ones(self.num_bands, jnp.float32)
         shapes = tuple(sorted((k, v.shape) for k, v in enc.items()))
         if shapes not in self._jitted:
             mesh = self.mesh
@@ -181,12 +238,13 @@ class BandParallelTrainer:
                 },
                 bsh,
                 repl,
+                bsh,
             )
             self._jitted[shapes] = jax.jit(
                 self._stepped, in_shardings=in_shardings
             )
         return self._jitted[shapes](
-            params, opt_state, enc, self._band_resps_dev, key
+            params, opt_state, enc, self._band_resps_dev, key, active
         )
 
     # ----------------------- device-resident data path -----------------------
@@ -206,22 +264,35 @@ class BandParallelTrainer:
         repl = replicated(self.mesh)
         return {k: jax.device_put(np.asarray(v), repl) for k, v in enc.items()}
 
+    def _gather(self, data: Dict, idx) -> Dict:
+        dsh = batch_sharding(self.mesh)
+        enc = {}
+        for k, v in data.items():
+            base = k[: -len("__ri")] if k.endswith("__ri") else k
+            if base in self._SHARED_KEYS:
+                enc[k] = v
+            else:
+                enc[k] = jax.lax.with_sharding_constraint(v[idx], dsh)
+        return enc
+
     def _make_indexed_step(self) -> Callable:
         stepped = self._stepped
-        dsh = batch_sharding(self.mesh)
-        shared = self._SHARED_KEYS
+        gather = self._gather
 
-        def indexed_step(params, opt_state, data, band_resps, idx, key):
-            enc = {}
-            for k, v in data.items():
-                base = k[: -len("__ri")] if k.endswith("__ri") else k
-                if base in shared:
-                    enc[k] = v
-                else:
-                    enc[k] = jax.lax.with_sharding_constraint(v[idx], dsh)
-            return stepped(params, opt_state, enc, band_resps, key)
+        def indexed_step(params, opt_state, data, band_resps, idx, key, active):
+            enc = gather(data, idx)
+            return stepped(params, opt_state, enc, band_resps, key, active)
 
         return indexed_step
+
+    def _make_indexed_valid(self) -> Callable:
+        vstepped = self._vstepped
+        gather = self._gather
+
+        def indexed_valid(params, data, band_resps, idx, key):
+            return vstepped(params, gather(data, idx), band_resps, key)
+
+        return indexed_valid
 
     def fit_indexed(
         self,
@@ -229,34 +300,80 @@ class BandParallelTrainer:
         opt_state,
         arrays,
         train_idx: Optional[np.ndarray] = None,
+        valid_idx: Optional[np.ndarray] = None,
         max_epochs: Optional[int] = None,
         seed: int = 0,
+        on_epoch: Optional[Callable] = None,
     ):
-        """Epoch loop over device-resident data (on-device batch gathers)."""
+        """Epoch loop over device-resident data (on-device batch gathers).
+
+        With ``valid_idx``, runs a per-band validation pass per epoch and
+        early-stops each band independently (|delta valid| <= tol for
+        ``patience`` epochs, reference trainer.py:417-424); stopped bands
+        freeze while the rest continue. ``on_epoch(epoch, params,
+        train_losses, valid_losses, active)`` runs after every epoch (e.g.
+        to checkpoint per band).
+        """
+        from ..training.trainer import padded_batches
+
         data = self.upload_arrays(arrays)
         if train_idx is None:
             train_idx = np.arange(arrays.num_items)
         bs = min(self.cfg.batch_size, max(1, len(train_idx)))
+        vbs = (
+            min(self.cfg.batch_size, max(1, len(valid_idx)))
+            if valid_idx is not None and len(valid_idx)
+            else None
+        )
         step = jax.jit(self._make_indexed_step(), donate_argnums=(0, 1))
+        vstep = jax.jit(self._make_indexed_valid())
         key = jax.random.PRNGKey(seed)
         rng = np.random.RandomState(seed)
         max_epochs = max_epochs or self.cfg.max_epochs
-        history = []
-        from ..training.trainer import padded_batches
 
-        for _ in range(max_epochs):
+        nb_bands = self.num_bands
+        active = np.ones(nb_bands, np.float32)
+        streak = np.zeros(nb_bands, np.int64)
+        self.train_loss, self.valid_loss = [], []
+        for epoch in range(max_epochs):
+            active_dev = jnp.asarray(active)
             perm = train_idx[rng.permutation(len(train_idx))]
             totals, nb = None, 0
             for bidx in padded_batches(perm, bs):
                 key, sub = jax.random.split(key)
                 params, opt_state, total, _ = step(
                     params, opt_state, data, self._band_resps_dev,
-                    jnp.asarray(bidx, jnp.int32), sub,
+                    jnp.asarray(bidx, jnp.int32), sub, active_dev,
                 )
                 totals = total if totals is None else totals + total
                 nb += 1
-            history.append(np.asarray(totals) / max(nb, 1))
-        return params, opt_state, np.stack(history)
+            self.train_loss.append(np.asarray(totals) / max(nb, 1))
+
+            v_epoch = None
+            if vbs is not None:
+                ev, nv = None, 0
+                for vidx in padded_batches(np.asarray(valid_idx), vbs):
+                    key, sub = jax.random.split(key)
+                    vt, _ = vstep(
+                        params, data, self._band_resps_dev,
+                        jnp.asarray(vidx, jnp.int32), sub,
+                    )
+                    ev = vt if ev is None else ev + vt
+                    nv += 1
+                v_epoch = np.asarray(ev) / max(nv, 1)
+                self.valid_loss.append(v_epoch)
+                if len(self.valid_loss) >= 2:
+                    delta = np.abs(self.valid_loss[-2] - self.valid_loss[-1])
+                    streak = np.where(delta <= self.early_stop_tol, streak + 1, 0)
+                    active = np.where(
+                        streak >= self.patience, 0.0, active
+                    ).astype(np.float32)
+
+            if on_epoch is not None:
+                on_epoch(epoch, params, self.train_loss[-1], v_epoch, active)
+            if vbs is not None and not active.any():
+                break
+        return params, opt_state, np.stack(self.train_loss)
 
     def fit(
         self,
