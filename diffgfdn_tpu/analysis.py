@@ -114,54 +114,170 @@ def get_amps_for_rir(
     return np.moveaxis(amps, -1, 0)
 
 
+def _edc_design_matrix(t: np.ndarray, t60s: np.ndarray) -> np.ndarray:
+    """[exp(-t ln1e6 / T_k) | flipped-ramp noise column], shape (T, K+1)."""
+    cols = [np.exp(-t * LOG10E6 / T) for T in np.atleast_1d(t60s)]
+    cols.append(np.flip(np.arange(1, len(t) + 1)).astype(np.float64))
+    return np.stack(cols, axis=-1)
+
+
+def _fit_edc_fixed_order(
+    edc: np.ndarray,
+    t: np.ndarray,
+    n_slopes: int,
+    t60_grid: np.ndarray,
+    refine: bool = True,
+) -> Tuple[np.ndarray, np.ndarray, float, float]:
+    """(T60s, amps, noise, mean-abs-dB error) for one EDC at a fixed order.
+
+    Variable projection: for candidate decay times the amplitudes are the
+    closed-form NNLS solution; the decay times themselves are grid-
+    initialized (best n_slopes-subset of ``t60_grid``) then refined with
+    bounded nonlinear least squares on the dB-domain residual.
+    """
+    from itertools import combinations
+
+    from scipy.optimize import least_squares
+
+    log_edc = 10.0 * np.log10(edc + 1e-20)
+
+    def amps_and_err(t60s):
+        k = _edc_design_matrix(t, t60s)
+        sol, _ = nnls(k, edc)
+        resid = 10.0 * np.log10(k @ sol + 1e-20) - log_edc
+        return sol, resid
+
+    best = (np.inf, None, None)
+    for combo in combinations(range(len(t60_grid)), n_slopes):
+        cand = t60_grid[list(combo)]
+        sol, resid = amps_and_err(cand)
+        err = float(np.mean(resid ** 2))
+        if err < best[0]:
+            best = (err, cand, sol)
+    _, t60_init, sol = best
+
+    t60_fit = np.asarray(t60_init, np.float64)
+    if refine:
+        lo, hi = np.log(t60_grid[0] * 0.25), np.log(t60_grid[-1] * 4.0)
+
+        def residual(log_t60s):
+            return amps_and_err(np.exp(log_t60s))[1]
+
+        res = least_squares(
+            residual, np.log(t60_fit), bounds=(lo, hi), method="trf",
+            xtol=1e-8, max_nfev=60,
+        )
+        t60_fit = np.exp(res.x)
+    sol, resid = amps_and_err(t60_fit)
+    order = np.argsort(t60_fit)
+    return (
+        t60_fit[order],
+        sol[:n_slopes][order],
+        float(sol[-1]),
+        float(np.mean(np.abs(resid))),
+    )
+
+
 def estimate_decay_params(
     rir: np.ndarray,
     n_slopes: int,
     fs: float,
     f_bands: Optional[List[float]] = None,
     t60_grid: Optional[np.ndarray] = None,
+    max_slopes: int = 3,
+    order_tol_db: float = 0.25,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Estimate (T60s, amplitudes, noise levels) per band from one RIR.
+    """Estimate (T60s, amplitudes, noise levels) per octave band of one RIR.
 
-    Grid search over candidate decay times + NNLS amplitudes (a dependency-
-    free stand-in for the reference's DecayFitNet wrapper,
-    analysis.py:41-99): for each band, pick the n_slopes subset of the T60
-    grid minimizing the EDC fit error. Returns arrays of shape
-    (n_bands, n_slopes), (n_bands, n_slopes), (n_bands,).
+    Multi-slope nonlinear least squares on the Schroeder EDC with model-
+    order selection — a dependency-free replacement for the reference's
+    DecayFitNet wrapper (analysis.py:41-99, also n-slope with order
+    selection): grid-initialized decay times are refined by bounded NLS
+    (variable projection, NNLS amplitudes), and ``n_slopes=0`` selects the
+    smallest order (1..``max_slopes``) whose mean |dB| error is within
+    ``order_tol_db`` of the best order's, per band (inactive slots return
+    zero amplitude and T60). The last 5% of the EDC is discarded like the
+    reference does. Returns (n_bands, K), (n_bands, K), (n_bands,) with
+    K = n_slopes or max_slopes.
     """
-    from itertools import combinations
-
     if f_bands is None:
         f_bands = octave_bands(end_freq=min(16000.0, fs / 2))
     if t60_grid is None:
-        t60_grid = np.geomspace(0.1, 3.0, 12)
+        t60_grid = np.geomspace(0.05, 3.0, 14)
     filtered = octave_filtering(rir, fs, f_bands)
     n_bands = filtered.shape[-1]
-    t = np.arange(filtered.shape[0]) / fs
 
-    t60s = np.zeros((n_bands, n_slopes))
-    amps = np.zeros((n_bands, n_slopes))
+    auto = n_slopes == 0
+    k_out = max_slopes if auto else n_slopes
+    t60s = np.zeros((n_bands, k_out))
+    amps = np.zeros((n_bands, k_out))
     noise = np.zeros(n_bands)
     for b in range(n_bands):
         edc = schroeder_edc(filtered[:, b])
-        log_edc = 10 * np.log10(edc + 1e-20)
-        best = (np.inf, None, None, None)
-        for combo in combinations(range(len(t60_grid)), n_slopes):
-            cand = t60_grid[list(combo)]
-            K = np.stack(
-                [np.exp(-t * LOG10E6 / T) for T in cand]
-                + [np.flip(np.arange(1, len(t) + 1)).astype(np.float64)],
-                axis=-1,
-            )
-            sol, _ = nnls(K, edc)
-            fit = K @ sol
-            err = np.mean(
-                (10 * np.log10(fit + 1e-20) - log_edc) ** 2
-            )
-            if err < best[0]:
-                best = (err, cand, sol[:n_slopes], sol[-1])
-        _, t60s[b], amps[b], noise[b] = best
+        edc = edc[: int(len(edc) * 0.95)]  # discard the last 5%
+        # subsample on a LOG time grid (~2k points): a fast early slope
+        # occupies a tiny time fraction — uniform sampling would leave it
+        # almost unconstrained in the fit. Skip the analysis filter's
+        # transient (a few periods of the band centre) at the start.
+        start = max(1, int(4.0 * fs / float(f_bands[b])))
+        start = min(start, max(1, len(edc) // 4))
+        pick = np.unique(
+            np.geomspace(start, len(edc), min(2048, len(edc)))
+            .astype(np.int64) - 1
+        )
+        edc_ds = edc[pick]
+        t = pick / fs
+
+        if auto:
+            fits = [
+                _fit_edc_fixed_order(edc_ds, t, n, t60_grid)
+                for n in range(1, max_slopes + 1)
+            ]
+            errs = np.array([f[3] for f in fits])
+            chosen = int(np.argmax(errs <= errs.min() + order_tol_db))
+            tt, aa, nn, _ = fits[chosen]
+            t60s[b, : chosen + 1] = tt
+            amps[b, : chosen + 1] = aa
+            noise[b] = nn
+        else:
+            tt, aa, nn, _ = _fit_edc_fixed_order(edc_ds, t, n_slopes, t60_grid)
+            t60s[b], amps[b], noise[b] = tt, aa, nn
     return t60s, amps, noise
+
+
+def estimate_edc_parameters(
+    rir: np.ndarray,
+    filter_frequencies: List[float],
+    n_slopes: int = 1,
+    fs: float = 48000.0,
+) -> Tuple[Tuple[np.ndarray, np.ndarray, np.ndarray], np.ndarray, np.ndarray]:
+    """Reference-contract wrapper (analysis.py:41-99 get_decay_fit_net_params).
+
+    Returns ((T60s, amplitudes, noise), norm_vals, fitted_edc): parameters
+    are estimated on PEAK-NORMALIZED per-band EDCs (like DecayFitNet, whose
+    EDCs are normalized to 0 dB), ``norm_vals`` restores absolute level,
+    and ``fitted_edc`` is the model EDC per band on the full time axis.
+    ``n_slopes=0`` auto-selects the order per band (1..3).
+    """
+    filtered = octave_filtering(np.asarray(rir, np.float64), fs,
+                                list(filter_frequencies))
+    norm_vals = schroeder_edc(filtered)[0]  # (n_bands,) EDC peak values
+
+    t60s, amps, noise = estimate_decay_params(
+        rir, n_slopes, fs, f_bands=list(filter_frequencies)
+    )
+    # normalize amplitudes/noise by the EDC peak per band
+    amps_n = amps / norm_vals[:, None]
+    noise_n = noise / norm_vals
+    t = np.arange(filtered.shape[0]) / fs
+    fitted = np.stack(
+        [
+            _edc_design_matrix(t, np.where(t60s[b] > 0, t60s[b], 1.0))
+            @ np.r_[amps[b], noise[b]]
+            for b in range(t60s.shape[0])
+        ]
+    )
+    return (t60s, amps_n, noise_n), norm_vals, fitted
 
 
 def amplitudes_to_initial_level(

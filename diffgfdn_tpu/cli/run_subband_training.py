@@ -128,6 +128,10 @@ def training_band_parallel(configs, room_data=None):
             configs[0].room_dataset_path,
             nfft=configs[0].trainer_config.num_freq_bins,
         )
+    from ..training.solver import check_sample_rate
+
+    for cfg in configs:
+        check_sample_rate(cfg, room_data)
     arrays = arrays_from_room_dataset(room_data)
 
     groups: Dict[Tuple, list] = {}
@@ -229,6 +233,10 @@ def main(argv=None):
     parser.add_argument("--num-freq-bins", type=int, default=2 ** 17)
     parser.add_argument("--max-epochs", type=int, default=20)
     parser.add_argument(
+        "--sample-rate", type=float, default=None,
+        help="sample rate in Hz (default: read from the dataset pickle)",
+    )
+    parser.add_argument(
         "--band-parallel", action="store_true",
         help="train all bands in one sharded program (TPU-native)",
     )
@@ -236,10 +244,16 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
+    sample_rate = args.sample_rate
+    if sample_rate is None:
+        import pickle
+
+        with open(args.dataset, "rb") as f:
+            sample_rate = float(pickle.load(f)["fs"])
     configs = [
         create_config(
             f, args.dataset, args.train_dir, args.num_freq_bins,
-            max_epochs=args.max_epochs,
+            sample_rate=sample_rate, max_epochs=args.max_epochs,
         )
         for f in args.freqs
     ]

@@ -40,6 +40,23 @@ from .trainer import DirectionalGFDNTrainer, GFDNTrainer, SinglePosGFDNTrainer
 logger = logging.getLogger("diffgfdn_tpu")
 
 
+def check_sample_rate(config: DiffGFDNConfig, dataset) -> None:
+    """Fail fast on a config/dataset sample-rate mismatch.
+
+    A mismatch silently corrupts every downstream quantity (delay lengths,
+    mixing-time/EDC windows — which can exceed the spectrum length and turn
+    the losses NaN, subband filter grids), so it is a configuration error.
+    """
+    ds_fs = getattr(dataset, "sample_rate", None)
+    if ds_fs is not None and float(ds_fs) != float(config.sample_rate):
+        raise ValueError(
+            f"config.sample_rate={config.sample_rate:g} Hz but the dataset "
+            f"is sampled at {ds_fs:g} Hz — set sample_rate to match the "
+            "dataset (delay lengths, EDC windows and subband grids all "
+            "derive from it)"
+        )
+
+
 def _subband_resp(config: DiffGFDNConfig) -> Optional[np.ndarray]:
     sb = config.trainer_config.subband_process_config
     if sb is None:
@@ -119,6 +136,7 @@ def run_training_var_receiver_pos(
         room_data = ThreeRoomDataset(
             config.room_dataset_path, nfft=config.trainer_config.num_freq_bins
         )
+    check_sample_rate(config, room_data)
 
     colorless_params = None
     if config.colorless_fdn_config.use_colorless_prototype:
@@ -296,6 +314,7 @@ def run_training_anisotropic_decay_var_receiver_pos(
     """Directional FDN over a receiver grid (solver.py:558-657)."""
     from ..data.spatial_dataset import arrays_from_spatial_dataset
 
+    check_sample_rate(config, room_data)
     colorless_params = None
     if config.colorless_fdn_config.use_colorless_prototype:
         if config.colorless_fdn_config.load_fixed_parameters:

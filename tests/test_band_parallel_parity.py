@@ -161,3 +161,22 @@ def test_band_parallel_colorless_loss_terms(dataset, tmp_path):
     )
     assert "spectral_loss" in aux and "sparsity_loss" in aux
     assert np.isfinite(np.asarray(total)).all()
+
+
+def test_sample_rate_mismatch_raises(dataset, tmp_path):
+    """A config whose sample_rate disagrees with the dataset fails fast
+    (a mismatch silently NaNs the losses otherwise)."""
+    from diffgfdn_tpu.cli.run_subband_training import (
+        create_config,
+        training_band_parallel,
+    )
+    from diffgfdn_tpu.training.solver import run_training_var_receiver_pos
+
+    cfg = create_config(
+        500.0, dataset, str(tmp_path / "mm"), num_freq_bins=1024,
+        sample_rate=32000.0, max_epochs=1,  # dataset is 8 kHz
+    )
+    with pytest.raises(ValueError, match="sample"):
+        training_band_parallel([cfg])
+    with pytest.raises(ValueError, match="sample"):
+        run_training_var_receiver_pos(cfg)

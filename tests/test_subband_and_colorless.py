@@ -46,7 +46,10 @@ def test_band_parallel_cli_and_inference(dataset_path, tmp_path):
         for f in freqs
     ]
     room = ThreeRoomDataset(dataset_path, nfft=1024)
-    history = training_band_parallel(configs, room_data=room)
+    histories = training_band_parallel(configs, room_data=room)
+    # both bands share one architecture -> one vmapped group
+    assert len(histories) == 1
+    history = histories[0]
     assert history.shape == (2, 2)
     assert np.isfinite(history).all()
 
