@@ -14,7 +14,7 @@ Host-side numpy throughout: this is streaming playback tooling, not a
 training path; the per-hop BRIR math is small.
 """
 
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 from scipy.signal import fftconvolve, lfilter
@@ -165,6 +165,26 @@ class DynamicRenderingMovingReceiver:
         total = self.total_sim_len
         reps = int(np.ceil(total / len(self.stimulus)))
         return np.tile(self.stimulus, reps)[:total]
+
+    def animate_trajectory(
+        self,
+        save_path: str,
+        yaw_angles: Optional[np.ndarray] = None,
+    ):
+        """Moving-listener demo animation on the floor plan
+        (reference sound_examples.py:257-353): the rendered walk as an
+        .mp4 (ffmpeg) or .gif fallback, at the renderer's hop rate."""
+        from ..utils.plot import animate_moving_listener
+
+        return animate_moving_listener(
+            self.rec_pos_list,
+            room_dims=self.room.room_dims,
+            room_start_coords=self.room.room_start_coord,
+            yaw_angles=yaw_angles,
+            source_position=np.asarray(self.room.source_position).reshape(-1),
+            save_path=save_path,
+            fps=max(1, int(round(1000.0 / self.update_ms))),
+        )
 
     def _rirs(self, use_whole_rir: bool) -> np.ndarray:
         if use_whole_rir:

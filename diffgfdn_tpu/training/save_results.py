@@ -103,3 +103,48 @@ def save_loss(
     if valid_loss is not None:
         data["valid_loss"] = np.asarray(valid_loss)
     savemat(str(Path(directory) / f"{filename}.mat"), data)
+
+
+def save_feedback_matrix_animation(
+    model, train_dir, max_epochs: int, save_name: str = "feedback_matrix.gif"
+) -> Optional[str]:
+    """Animate the coupled feedback matrix across the epoch checkpoints
+    (reference plot.py:341-408 animate_coupled_feedback_matrix, fed from the
+    per-epoch state dicts). Returns the written path, or None when fewer
+    than two checkpoints exist.
+    """
+    import jax
+
+    from ..utils.plot import animate_coupled_feedback_matrix
+    from .checkpoints import checkpoint_path, load_checkpoint
+
+    mats = []
+    coups = []
+    has_coupling = False
+    for epoch in range(-1, max_epochs):
+        if not checkpoint_path(train_dir, epoch).exists():
+            continue
+        params = jax.tree_util.tree_map(
+            np.asarray, load_checkpoint(train_dir, epoch)
+        )
+        mats.append(np.asarray(_coupled_matrix(model, params)))
+        try:
+            coup = model.apply(
+                params, method=lambda m: m.feedback_loop.coupling_matrix()
+            )
+            coup = np.asarray(coup)
+            if coup.ndim == 2:  # SCALAR mode only (FILTER is polynomial)
+                coups.append(np.abs(coup))
+                has_coupling = True
+        except Exception:
+            pass
+    if len(mats) < 2:
+        return None
+    if mats[0].ndim == 3:  # FILTER mode: animate the order-0 tap
+        mats = [m[0] for m in mats]
+    path = str(Path(train_dir) / save_name)
+    animate_coupled_feedback_matrix(
+        mats, coups if has_coupling and len(coups) == len(mats) else None,
+        save_path=path,
+    )
+    return path

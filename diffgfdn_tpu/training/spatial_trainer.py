@@ -351,4 +351,32 @@ def run_training_spatial_sampling(
         params = model.init(jax.random.PRNGKey(config.seed), example)
         params = trainer.fit(params, train_batches, valid_batches)
         results[res] = (trainer, params)
+        _save_beamformer_maps(config, room_data, trainer, params, example, res)
     return results
+
+
+def _save_beamformer_maps(
+    config, room_data, trainer, params, example, resolution: float
+) -> None:
+    """Directional-amplitude contour maps per resolution (reference
+    spatial_sampling/solver.py:160-263) for SH-weight models."""
+    if not trainer.use_directional or config.train_dir is None:
+        return
+    try:
+        amps = np.asarray(
+            jax.jit(lambda p, b: trainer._predict(p, b)[0])(params, example)
+        )
+        from ..utils.plot import plot_beamformer_map
+
+        plot_beamformer_map(
+            amps[0],
+            room_data.sph_directions,
+            room_data.ambi_order,
+            room_data.num_rooms,
+            save_path=str(
+                Path(config.train_dir)
+                / f"beamformer_map_grid_resolution_m={resolution:.3f}.png"
+            ),
+        )
+    except Exception as exc:  # plotting must never kill a training run
+        logger.warning("beamformer map plotting failed: %s", exc)

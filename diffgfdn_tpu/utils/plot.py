@@ -230,3 +230,356 @@ def plot_edr_error_map(
         cbar_label="dB",
         save_path=save_path,
     )
+
+
+# -------------------- polynomial (FIR-paraunitary) matrices --------------------
+# Reference: plot.py:162-257. Our polynomial-matrix convention is
+# (order, N, N) — the leading axis is the z^-o power (feedback_loop.py).
+
+
+def polynomial_matrix_response(
+    poly: np.ndarray, num_bins: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Frequency response of a polynomial matrix on the half unit circle.
+
+    ``poly``: (order, N, N). Returns ((num_bins, N, N) complex, normalized
+    frequency axis in [0, 1)). Vectorized einsum, no per-order loop.
+    """
+    poly = np.asarray(poly)
+    order = poly.shape[0]
+    w = np.arange(num_bins) / num_bins
+    zinv_pow = np.exp(-1j * np.pi * w[:, None] * np.arange(order)[None, :])
+    return np.einsum("fo,onm->fnm", zinv_pow, poly.astype(complex)), w
+
+
+def plot_polynomial_matrix_ir(
+    poly: np.ndarray,
+    fs: float,
+    plot_db: bool = False,
+    rt60: Optional[float] = None,
+    title: Optional[str] = None,
+    save_path: Optional[str] = None,
+):
+    """N x N grid of the polynomial matrix's entry impulse responses
+    (reference plot.py:162-195; our layout is (order, N, N))."""
+    poly = np.asarray(poly)
+    order, n, _ = poly.shape
+    t = np.arange(order) / fs
+    fig, ax = plt.subplots(n, n, figsize=(8, 5), sharex=True)
+    for i in range(n):
+        for j in range(n):
+            y = db_np(np.abs(poly[:, i, j]) + 1e-12) if plot_db else poly[:, i, j]
+            ax[i, j].plot(t, y, linewidth=0.8)
+            if rt60 is not None:
+                ax[i, j].set_xlim(0.0, rt60 + 0.1)
+    ax[-1, 0].set_xlabel("Time (s)")
+    ax[0, 0].set_ylabel("Amplitude (dB)" if plot_db else "Amplitude")
+    if title:
+        fig.suptitle(title)
+    return save_or_show(fig, save_path)
+
+
+def plot_polynomial_matrix_magnitude(
+    poly: np.ndarray,
+    fs: float,
+    num_bins: int = 512,
+    title: Optional[str] = None,
+    save_path: Optional[str] = None,
+):
+    """N x N grid of entry magnitude responses (reference plot.py:224-257)."""
+    resp, w = polynomial_matrix_response(poly, num_bins)
+    n = resp.shape[-1]
+    freq_hz = 0.5 * fs * w
+    fig, ax = plt.subplots(n, n, figsize=(8, 5), sharex=True, sharey=True)
+    for i in range(n):
+        for j in range(n):
+            ax[i, j].semilogx(
+                freq_hz[1:], db_np(np.abs(resp[1:, i, j]) + 1e-12),
+                linewidth=0.8,
+            )
+    ax[-1, 0].set_xlabel("Frequency (Hz)")
+    ax[0, 0].set_ylabel("Magnitude (dB)")
+    if title:
+        fig.suptitle(title)
+    return save_or_show(fig, save_path)
+
+
+def animate_coupled_feedback_matrix(
+    feedback_matrices: Sequence[np.ndarray],
+    coupling_matrices: Optional[Sequence[np.ndarray]] = None,
+    save_path: Optional[str] = None,
+    fps: int = 2,
+):
+    """Animate |A| (and optionally the room-coupling matrix) over epochs
+    (reference plot.py:341-408). Saves a GIF via the pillow writer."""
+    from matplotlib import animation
+
+    with_coupling = coupling_matrices is not None
+    if with_coupling:
+        fig, axes = plt.subplots(2, 1, figsize=(6, 8))
+        ims = [
+            axes[0].matshow(np.abs(feedback_matrices[0]), cmap="viridis"),
+            axes[1].matshow(
+                np.asarray(coupling_matrices[0]), cmap="viridis",
+                vmin=0.0, vmax=1.0,
+            ),
+        ]
+        axes[0].set_title("Coupled feedback matrix")
+        axes[1].set_title("Coupling matrix")
+        for im, a in zip(ims, axes):
+            fig.colorbar(im, ax=a)
+    else:
+        fig, ax = plt.subplots()
+        ims = [ax.matshow(np.abs(feedback_matrices[0]), cmap="viridis")]
+        ax.set_title("Coupled feedback matrix")
+        fig.colorbar(ims[0], ax=ax)
+
+    def update(frame):
+        ims[0].set_array(np.abs(feedback_matrices[frame]))
+        if with_coupling:
+            ims[1].set_array(np.asarray(coupling_matrices[frame]))
+        return ims
+
+    ani = animation.FuncAnimation(
+        fig, update, frames=len(feedback_matrices),
+        interval=1000 // fps, blit=True,
+    )
+    if save_path is not None:
+        Path(save_path).parent.mkdir(parents=True, exist_ok=True)
+        ani.save(save_path, writer="pillow", fps=fps, dpi=80)
+        plt.close(fig)
+    return ani
+
+
+# ----------------------------- subband figures -----------------------------
+# Reference: plot.py:409-578 — the per-band EDC-vs-epoch and amplitude
+# comparison figures that are the reference's main training diagnostics.
+
+
+def plot_subband_edc(
+    h_true: np.ndarray,
+    h_approx: Sequence[np.ndarray],
+    fs: float,
+    band_centre_hz: Sequence[float],
+    pos_to_investigate: Optional[Sequence[float]] = None,
+    epoch_numbers: Optional[Sequence[int]] = None,
+    mixing_time_ms: float = 20.0,
+    crop_end_ms: float = 5.0,
+    save_path: Optional[str] = None,
+):
+    """Per-octave-band EDCs of the true RIR vs synthesized RIRs per epoch
+    (reference plot.py:409-511)."""
+    from ..analysis import octave_filtering, schroeder_edc
+    from ..ops.basic import ms_to_samps
+
+    mix = ms_to_samps(mixing_time_ms, fs)
+    crop = ms_to_samps(crop_end_ms, fs)
+    true_trunc = np.asarray(h_true)[mix:-crop]
+    filt_true = octave_filtering(true_trunc, fs, list(band_centre_hz))
+    t = np.arange(len(true_trunc)) / fs
+    n_bands = len(band_centre_hz)
+    if epoch_numbers is None:
+        epoch_numbers = list(range(-1, len(h_approx) - 1))
+
+    fig, ax = plt.subplots(n_bands, 1, figsize=(6, 2 * n_bands), sharex=True)
+    ax = np.atleast_1d(ax)
+    for k in range(n_bands):
+        ax[k].plot(
+            t, db_np(schroeder_edc(filt_true[:, k]) + 1e-20, is_squared=True),
+            "k", label="Reference",
+        )
+        ax[k].set_title(f"{band_centre_hz[k]:.0f} Hz")
+        ax[k].set_ylim(-80, 5)
+    for e, h in enumerate(h_approx):
+        approx_trunc = np.asarray(h)[mix : mix + len(true_trunc)]
+        filt = octave_filtering(approx_trunc, fs, list(band_centre_hz))
+        for k in range(n_bands):
+            ax[k].plot(
+                t[: filt.shape[0]],
+                db_np(schroeder_edc(filt[:, k]) + 1e-20, is_squared=True),
+                label=f"Epoch={epoch_numbers[e]}", linewidth=0.8,
+            )
+    ax[-1].set_xlabel("Time (s)")
+    fig.supylabel("Energy decay (dB)")
+    ax[0].legend(fontsize=6, loc="upper right")
+    if pos_to_investigate is not None:
+        p = np.asarray(pos_to_investigate)
+        fig.suptitle(
+            f"Truncated EDF at ({p[0]:.2f}, {p[1]:.2f}, {p[2]:.2f}) m"
+        )
+    fig.subplots_adjust(hspace=0.7)
+    return save_or_show(fig, save_path)
+
+
+def plot_subband_amplitudes(
+    h_true: np.ndarray,
+    h_approx: np.ndarray,
+    fs: float,
+    num_groups: int,
+    amplitudes: np.ndarray,
+    common_decay_times: np.ndarray,
+    band_centre_hz: Sequence[float],
+    mixing_time_ms: float = 20.0,
+    crop_end_ms: float = 5.0,
+    save_path: Optional[str] = None,
+):
+    """Theoretical vs LS-estimated common-slope amplitudes per band/group
+    (reference plot.py:513-578). ``amplitudes``: (n_bands, 1, n_groups) or
+    (n_bands, n_groups); ``common_decay_times``: (n_bands, n_groups)."""
+    from ..analysis import get_amps_for_rir
+
+    cdt = np.asarray(common_decay_times)
+    theo = np.asarray(amplitudes).reshape(len(band_centre_hz), -1)
+    est_true = get_amps_for_rir(
+        np.asarray(h_true), cdt.T, list(band_centre_hz), fs,
+        mixing_time_ms=mixing_time_ms, leave_out_ms=crop_end_ms,
+    ).reshape(len(band_centre_hz), -1)
+    est_approx = get_amps_for_rir(
+        np.asarray(h_approx), cdt.T, list(band_centre_hz), fs,
+        mixing_time_ms=mixing_time_ms, leave_out_ms=crop_end_ms,
+    ).reshape(len(band_centre_hz), -1)
+
+    fig, ax = plt.subplots(num_groups, 1, figsize=(6, 3 * num_groups))
+    ax = np.atleast_1d(ax)
+    for g in range(num_groups):
+        ax[g].semilogx(band_centre_hz, db_np(theo[:, g] + 1e-12, is_squared=True),
+                       marker="o", label="Theoretical")
+        ax[g].semilogx(band_centre_hz,
+                       db_np(est_true[:, g] + 1e-12, is_squared=True),
+                       marker="d", label="True RIR, LS estimate")
+        ax[g].semilogx(band_centre_hz,
+                       db_np(est_approx[:, g] + 1e-12, is_squared=True),
+                       marker="x", label="Synthesized RIR, LS estimate")
+        ax[g].set_title(f"Group {g + 1}")
+        ax[g].set_ylim(-80, 10)
+        ax[g].grid(True, which="both", alpha=0.3)
+        ax[g].set_ylabel("Magnitude (dB)")
+    ax[-1].set_xlabel("Frequency (Hz)")
+    ax[0].legend(fontsize=7)
+    fig.subplots_adjust(hspace=0.5)
+    return save_or_show(fig, save_path)
+
+
+# ------------------------ SH-interpolated beamformer maps ------------------------
+
+
+def plot_beamformer_map(
+    est_amps: np.ndarray,
+    sph_directions: np.ndarray,
+    ambi_order: int,
+    num_groups: int,
+    save_path: Optional[str] = None,
+    db_limits: Optional[np.ndarray] = None,
+    grid_size: Tuple[int, int] = (20, 20),
+):
+    """Directional CS-amplitude contour maps via SH interpolation
+    (reference spatial_sampling/solver.py:160-263): project per-direction
+    amplitudes at ONE position onto SH, re-expand on a dense (azimuth,
+    polar) grid, contour per slope/group.
+
+    ``est_amps``: (num_directions, num_groups) at the position of interest;
+    ``sph_directions``: (2, num_directions) [azimuth; polar].
+    Returns the db limits used (reusable across figures).
+    """
+    from ..ops.sph import sh_matrix
+
+    est_amps = np.asarray(est_amps)
+    num_dirs = est_amps.shape[0]
+    azi = np.linspace(0.0, 2.0 * np.pi, grid_size[0])
+    polar = np.linspace(0.0, np.pi, grid_size[1])
+    azi_g, pol_g = np.meshgrid(azi, polar)
+
+    y_orig = sh_matrix(ambi_order, sph_directions[0], sph_directions[1])
+    y_dense = sh_matrix(ambi_order, azi_g.ravel(), pol_g.ravel())
+    weights = (y_orig.T / num_dirs) @ est_amps  # (n_sh, n_groups)
+    interp = (y_dense @ weights).reshape(*azi_g.shape, -1)
+    interp_db = db_np(np.abs(interp) + 1e-12, is_squared=True)
+
+    if db_limits is None:
+        db_limits = np.stack([
+            interp_db.reshape(-1, num_groups).min(axis=0),
+            interp_db.reshape(-1, num_groups).max(axis=0),
+        ])
+    fig, ax = plt.subplots(num_groups, 1, figsize=(6, 3 * num_groups))
+    ax = np.atleast_1d(ax)
+    for k in range(num_groups):
+        surf = ax[k].contourf(
+            np.degrees(azi_g), np.degrees(pol_g), interp_db[..., k],
+            vmin=db_limits[0, k], vmax=db_limits[1, k], cmap="plasma",
+        )
+        cbar = fig.colorbar(surf, ax=ax[k], shrink=0.8)
+        cbar.set_label("dB")
+        ax[k].set_xlabel("Azimuth (deg)")
+        ax[k].set_ylabel("Polar angle (deg)")
+        ax[k].set_title(f"Group {k + 1}")
+    fig.subplots_adjust(hspace=0.5)
+    save_or_show(fig, save_path)
+    return db_limits
+
+
+# -------------------------- moving-listener animation --------------------------
+
+
+def animate_moving_listener(
+    receiver_path: np.ndarray,
+    room_dims: Sequence,
+    room_start_coords: Sequence,
+    yaw_angles: Optional[np.ndarray] = None,
+    source_position: Optional[np.ndarray] = None,
+    save_path: Optional[str] = None,
+    fps: int = 25,
+):
+    """Top-down floor-plan animation of a listener walking a trajectory
+    (reference sound_examples.py:257-353): a marker moves along
+    ``receiver_path`` with an optional yaw-direction arrow. Saves .mp4 via
+    ffmpeg when available, else falls back to a .gif (pillow)."""
+    from matplotlib import animation
+
+    path = np.asarray(receiver_path)
+    fig, ax = plt.subplots(figsize=(6, 6))
+    draw_room_boundaries(ax, room_dims, room_start_coords)
+    if source_position is not None:
+        ax.plot(source_position[0], source_position[1], "r*", markersize=12,
+                label="source")
+    ax.plot(path[:, 0], path[:, 1], "k--", alpha=0.4, linewidth=0.8)
+    marker = plt.Circle((path[0, 0], path[0, 1]), 0.12, color="tab:blue")
+    ax.add_patch(marker)
+    ax.set_aspect("equal")
+    ax.set_xlabel("x (m)")
+    ax.set_ylabel("y (m)")
+
+    arrow_container = []
+    arrow_len = 0.4
+
+    def draw_arrow(frame):
+        yaw = yaw_angles[frame]
+        return ax.arrow(
+            path[frame, 0], path[frame, 1],
+            arrow_len * np.cos(yaw), arrow_len * np.sin(yaw),
+            head_width=0.1, head_length=0.1, fc="tab:blue", ec="tab:blue",
+        )
+
+    if yaw_angles is not None:
+        arrow_container.append(draw_arrow(0))
+
+    def update(frame):
+        marker.set_center((path[frame, 0], path[frame, 1]))
+        artists = [marker]
+        if yaw_angles is not None:
+            arrow_container[0].remove()
+            arrow_container[0] = draw_arrow(frame)
+            artists.append(arrow_container[0])
+        return artists
+
+    ani = animation.FuncAnimation(
+        fig, update, frames=len(path), interval=1000 // fps, blit=True,
+    )
+    if save_path is not None:
+        Path(save_path).parent.mkdir(parents=True, exist_ok=True)
+        try:
+            ani.save(save_path, writer=animation.FFMpegWriter(fps=fps))
+        except (FileNotFoundError, RuntimeError):
+            gif = str(Path(save_path).with_suffix(".gif"))
+            ani.save(gif, writer="pillow", fps=min(fps, 10), dpi=80)
+        plt.close(fig)
+    return ani

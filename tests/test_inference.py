@@ -215,6 +215,11 @@ def test_dynamic_rendering_static_receiver_is_convolution(tmp_path):
     rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
     assert rel < 0.6
     assert np.isfinite(out).all()
+    # moving-listener demo animation (reference sound_examples.py:257-353)
+    rend.animate_trajectory(
+        str(tmp_path / "walk.mp4"), yaw_angles=np.linspace(0, 1.0, 4)
+    )
+    assert (tmp_path / "walk.mp4").exists() or (tmp_path / "walk.gif").exists()
 
 
 def test_binaural_rendering_shapes(tmp_path):

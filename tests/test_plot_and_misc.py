@@ -132,3 +132,167 @@ def test_flops_cost_models():
     # comparison) — for long reverbs the GFDN wins
     assert dir_gfdn_flops(2, 3, 8, 12) < conv_flops(9, 4000.0, 512)
     assert conv_flops(9, 4000.0, 512) > conv_flops(9, 1000.0, 512)
+
+
+# ------------------------ plot-parity suite (round 2) ------------------------
+
+
+def test_polynomial_matrix_plots(tmp_path):
+    import jax
+    import numpy as np
+
+    from diffgfdn_tpu.config.schema import CouplingMatrixType
+    from diffgfdn_tpu.models import FeedbackLoop
+    from diffgfdn_tpu.ops.basic import get_frequency_samples
+    from diffgfdn_tpu.utils.plot import (
+        plot_polynomial_matrix_ir,
+        plot_polynomial_matrix_magnitude,
+        polynomial_matrix_response,
+    )
+
+    loop = FeedbackLoop(
+        sample_rate=8000.0, num_groups=2, num_delay_lines_per_group=2,
+        delays=(163, 179, 191, 211),
+        coupling_matrix_type=CouplingMatrixType.FILTER,
+        coupling_matrix_order=6,
+        gains=np.full(4, 0.99, np.float32),
+    )
+    z = get_frequency_samples(64)
+    params = loop.init(jax.random.PRNGKey(0), z)
+    poly = np.asarray(
+        loop.apply(params, method=FeedbackLoop.coupled_feedback_matrix)
+    )
+    resp, w = polynomial_matrix_response(poly, 128)
+    assert resp.shape == (128, 4, 4) and np.isfinite(resp).all()
+    # response at w=0 equals the sum over orders
+    np.testing.assert_allclose(
+        resp[0].real, poly.sum(axis=0), rtol=1e-5, atol=1e-6
+    )
+    plot_polynomial_matrix_ir(
+        poly, 8000.0, save_path=str(tmp_path / "poly_ir.png")
+    )
+    plot_polynomial_matrix_magnitude(
+        poly, 8000.0, 128, save_path=str(tmp_path / "poly_mag.png")
+    )
+    assert (tmp_path / "poly_ir.png").exists()
+    assert (tmp_path / "poly_mag.png").exists()
+
+
+def test_animate_coupled_feedback_matrix(tmp_path):
+    import numpy as np
+
+    from diffgfdn_tpu.utils.plot import animate_coupled_feedback_matrix
+
+    rng = np.random.RandomState(0)
+    mats = [rng.randn(6, 6) for _ in range(3)]
+    coup = [rng.rand(2, 2) for _ in range(3)]
+    out = tmp_path / "anim.gif"
+    animate_coupled_feedback_matrix(mats, coup, save_path=str(out))
+    assert out.exists() and out.stat().st_size > 0
+
+
+def test_subband_edc_and_amplitude_figures(tmp_path):
+    import numpy as np
+
+    from diffgfdn_tpu.utils.plot import (
+        plot_subband_amplitudes,
+        plot_subband_edc,
+    )
+
+    fs = 8000.0
+    t = np.arange(int(0.3 * fs)) / fs
+    rng = np.random.RandomState(0)
+    true_rir = rng.randn(len(t)) * np.exp(-t * 20.0)
+    approx = [true_rir * 0.8, true_rir * 0.95]
+    bands = [500.0, 1000.0, 2000.0]
+    plot_subband_edc(
+        true_rir, approx, fs, bands, pos_to_investigate=(1.0, 2.0, 1.5),
+        save_path=str(tmp_path / "sub_edc.png"),
+    )
+    assert (tmp_path / "sub_edc.png").exists()
+
+    cdt = np.tile(np.array([[0.1, 0.15]]), (3, 1))  # (bands, groups)
+    amps = np.full((3, 1, 2), 0.5)
+    plot_subband_amplitudes(
+        true_rir, approx[0], fs, 2, amps, cdt, bands,
+        save_path=str(tmp_path / "sub_amps.png"),
+    )
+    assert (tmp_path / "sub_amps.png").exists()
+
+
+def test_beamformer_map(tmp_path):
+    import numpy as np
+
+    from diffgfdn_tpu.ops.sph import t_design_directions
+    from diffgfdn_tpu.utils.plot import plot_beamformer_map
+
+    dirs = t_design_directions(5)  # (2, J)
+    rng = np.random.RandomState(0)
+    amps = rng.rand(dirs.shape[1], 3)
+    limits = plot_beamformer_map(
+        amps, dirs, ambi_order=2, num_groups=3,
+        save_path=str(tmp_path / "beam.png"),
+    )
+    assert (tmp_path / "beam.png").exists()
+    assert limits.shape == (2, 3)
+    # limits reusable across figures
+    plot_beamformer_map(
+        amps * 0.5, dirs, ambi_order=2, num_groups=3,
+        save_path=str(tmp_path / "beam2.png"), db_limits=limits,
+    )
+
+
+def test_animate_moving_listener(tmp_path):
+    import numpy as np
+
+    from diffgfdn_tpu.utils.plot import animate_moving_listener
+
+    path = np.stack([np.linspace(0.5, 3.5, 8), np.full(8, 2.0)], axis=-1)
+    yaw = np.linspace(0, np.pi / 2, 8)
+    out = tmp_path / "walk.mp4"
+    animate_moving_listener(
+        path,
+        room_dims=[(4.0, 8.0, 3.0), (6.0, 3.0, 3.0)],
+        room_start_coords=[(0.0, 0.0, 0.0), (4.0, 2.0, 0.0)],
+        yaw_angles=yaw,
+        source_position=np.array([1.0, 1.0, 1.5]),
+        save_path=str(out),
+    )
+    assert out.exists() or out.with_suffix(".gif").exists()
+
+
+def test_save_feedback_matrix_animation(tmp_path):
+    """Checkpoint-driven coupled-matrix animation across epochs."""
+    import jax
+    import numpy as np
+
+    from diffgfdn_tpu.models import DiffGFDNVarReceiverPos
+    from diffgfdn_tpu.ops.absorption import decay_times_to_gain_per_sample
+    from diffgfdn_tpu.training.checkpoints import save_checkpoint
+    from diffgfdn_tpu.training.save_results import (
+        save_feedback_matrix_animation,
+    )
+    from diffgfdn_tpu.utils.cio import init_with_batch
+
+    delays = (163, 179, 191, 211)
+    gains = np.asarray(
+        decay_times_to_gain_per_sample(0.08, np.asarray(delays), 8000.0)
+    )
+    model = DiffGFDNVarReceiverPos(
+        sample_rate=8000.0, num_groups=2, delays=delays, gains=gains,
+        use_zero_coupling=False, use_svf_in_output=False,
+        num_hidden_layers=1, num_neurons=8, num_fourier_features=2,
+    )
+    rng = np.random.RandomState(0)
+    batch = {
+        "z_values": np.exp(1j * np.linspace(0, np.pi, 17)).astype(np.complex64),
+        "source_position": rng.rand(2, 3).astype(np.float32),
+        "listener_position": rng.rand(2, 3).astype(np.float32),
+        "norm_listener_position": rng.rand(2, 3).astype(np.float32),
+        "target_early_response": np.zeros((2, 17), np.complex64),
+    }
+    params = init_with_batch(model, jax.random.PRNGKey(0), batch)
+    for e in (-1, 0, 1):
+        save_checkpoint(tmp_path, e, params)
+    out = save_feedback_matrix_animation(model, tmp_path, 2)
+    assert out is not None and (tmp_path / "feedback_matrix.gif").exists()

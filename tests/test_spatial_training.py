@@ -57,6 +57,11 @@ def test_directional_mlp_training_improves(tmp_path, spatial_room):
         str(tmp_path / "spatial" / "grid_resolution=1.2"), cfg.max_epochs
     )
     assert ck is not None
+    # per-resolution SH-interpolated beamformer contour map emitted
+    # (reference spatial_sampling/solver.py:160-263)
+    assert (
+        tmp_path / "spatial" / "beamformer_map_grid_resolution_m=1.200.png"
+    ).exists()
 
 
 def test_directional_prediction_matches_targets_better_after_training(
