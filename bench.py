@@ -57,7 +57,6 @@ def make_batch(f):
 def bench_tpu(steps: int = 24):
     import jax
     import jax.numpy as jnp
-    import optax
 
     from diffgfdn_tpu.config.schema import TrainerConfig
     from diffgfdn_tpu.models import DiffGFDNVarReceiverPos
@@ -87,8 +86,8 @@ def bench_tpu(steps: int = 24):
     cfg = TrainerConfig(
         batch_size=BATCH, num_freq_bins=NFFT, max_epochs=1, lr=1e-3
     )
-    from diffgfdn_tpu.data.batching import BatchArrays, gather_batch
-    from diffgfdn_tpu.utils.cio import encode_batch, init_with_batch
+    from diffgfdn_tpu.data.batching import BatchArrays
+    from diffgfdn_tpu.utils.cio import init_with_batch
 
     trainer = GFDNTrainer(
         model, cfg, steps_per_epoch=21, common_decay_times=np.asarray(T60S),

@@ -6,7 +6,6 @@ Dispatch (run_model.py:39-84): ``ir_path`` set -> single-position fit;
 
 import argparse
 import logging
-import os
 import pickle
 import shutil
 from pathlib import Path

@@ -15,7 +15,6 @@ import numpy as np
 
 from ..ops.basic import LOG10E6
 from .room_dataset import (
-    RoomDataset,
     THREE_ROOM_DIMS,
     THREE_ROOM_START,
     ThreeRoomDataset,

@@ -20,7 +20,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def _gauss_jordan(aug: jnp.ndarray, n: int) -> jnp.ndarray:

@@ -6,7 +6,6 @@ TrainerConfig must derive rho from the alias attenuation.
 """
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from diffgfdn_tpu.config.schema import TrainerConfig

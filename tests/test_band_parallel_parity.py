@@ -122,7 +122,6 @@ def test_band_parallel_early_stop_per_band(dataset, tmp_path):
 def test_band_parallel_colorless_loss_terms(dataset, tmp_path):
     """The colorless spectral/sparsity pair is part of the band loss."""
     import jax
-    import jax.numpy as jnp
 
     from diffgfdn_tpu.cli.run_subband_training import create_config
     from diffgfdn_tpu.data.batching import (

@@ -3,7 +3,6 @@
 import pickle
 
 import numpy as np
-import pytest
 
 from diffgfdn_tpu.analysis import (
     calculate_amplitudes_least_squares,

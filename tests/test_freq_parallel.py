@@ -1,7 +1,6 @@
 """Frequency-axis (sequence-parallel analogue) sharding test."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from diffgfdn_tpu.config.schema import TrainerConfig

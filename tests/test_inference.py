@@ -2,7 +2,6 @@
 
 import jax
 import numpy as np
-import pytest
 
 from diffgfdn_tpu.inference import (
     add_direct_and_early_path,
@@ -23,7 +22,6 @@ from diffgfdn_tpu.ops.basic import schroeder_backward_int
 from diffgfdn_tpu.ops.filterbanks import reconstructing_fractional_octave_bands
 from diffgfdn_tpu.ops.sph import (
     maxre_modal_weights,
-    sh_matrix,
     t_design_directions,
 )
 

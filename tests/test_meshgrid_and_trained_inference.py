@@ -1,7 +1,6 @@
 """Meshgrid encoding path + trained-model spatial inference end-to-end."""
 
 import numpy as np
-import pytest
 
 from diffgfdn_tpu.config.schema import (
     DNNConfig,

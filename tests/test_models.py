@@ -3,9 +3,8 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
-from diffgfdn_tpu.config.schema import CouplingMatrixType, FeatureEncodingType
+from diffgfdn_tpu.config.schema import CouplingMatrixType
 from diffgfdn_tpu.kernels.linalg import cinv, csolve
 from diffgfdn_tpu.models import (
     ColorlessFDN,

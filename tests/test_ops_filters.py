@@ -5,7 +5,6 @@ import numpy as np
 import scipy.signal as sig
 
 from diffgfdn_tpu.ops import absorption, biquad, filterbanks, geq, prony
-from diffgfdn_tpu.ops.basic import get_frequency_samples
 
 
 def test_svf_to_biquad_peaking_unit_gain_is_allpass():

@@ -1,6 +1,5 @@
 """Tests for unitary/paraunitary constructions, SH machinery, and STFT/EDR."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

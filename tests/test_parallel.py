@@ -1,7 +1,6 @@
 """Multi-device sharding tests on the virtual 8-CPU mesh."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

@@ -1,7 +1,6 @@
 """Smoke tests: plotting module, SVF-head + reg-loss training, profiling."""
 
 import numpy as np
-import pytest
 
 from diffgfdn_tpu.data import THREE_ROOM_APERTURES, THREE_ROOM_DIMS, THREE_ROOM_START
 from diffgfdn_tpu.utils import plot as dplot

@@ -106,7 +106,6 @@ def test_colorless_warm_start_through_solver(tmp_path):
 
 def test_colorless_matrix_roundtrip(tmp_path):
     """Warm-started feedback matrices equal the colorless optima exactly."""
-    import jax
 
     from diffgfdn_tpu.ops.unitary import orthogonal_from_skew
     from diffgfdn_tpu.training.build import colorless_to_init, ColorlessFDNResults

@@ -7,7 +7,6 @@ colorless_fdn/losses.py) independently on the same inputs.
 """
 
 import numpy as np
-import pytest
 import torch
 
 import jax.numpy as jnp

@@ -6,7 +6,6 @@ import pytest
 from diffgfdn_tpu.config.schema import (
     ColorlessFDNConfig,
     DiffGFDNConfig,
-    FeedbackLoopConfig,
     OutputFilterConfig,
     TrainerConfig,
 )
