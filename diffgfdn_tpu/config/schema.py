@@ -68,6 +68,12 @@ class MLPTuningConfig(BaseModel):
     max_neurons: int = 2 ** 7
     step_size: int = 2 ** 4
     num_trials: int = 50
+    # "tpe" (Tree-structured Parzen Estimator, the reference's optuna
+    # default), "random", or "optuna" (used when importable)
+    sampler: str = "tpe"
+    # epochs per trial training; None = the full trainer budget
+    # (the reference trains full runs per trial, solver.py:361-384)
+    trial_epochs: Optional[int] = 2
 
 
 class SubbandProcessingConfig(BaseModel):

@@ -149,8 +149,9 @@ def run_training_var_receiver_pos(
                 config, room_data.num_freq_bins // 16
             )
 
-    # optional MLP architecture search (reference: solver.py:361-384 uses
-    # optuna; we random-search with short proxy trainings)
+    # optional MLP architecture search (reference: solver.py:361-384 runs
+    # an optuna TPE study; hypertuning.py implements TPE natively, with
+    # random/optuna samplers selectable and configurable trial budgets)
     tuning = config.output_filter_config.mlp_tuning_config
     if tuning is not None and tuning.tune_hyperparameters:
         from .hypertuning import mlp_hyperparameter_tuning
@@ -158,9 +159,12 @@ def run_training_var_receiver_pos(
         def _trial(cand: DiffGFDNConfig) -> float:
             trial_cfg = cand.model_copy(deep=True)
             trial_cfg.output_filter_config.mlp_tuning_config = None
-            trial_cfg.trainer_config.max_epochs = min(
-                2, config.trainer_config.max_epochs
-            )
+            # trial_epochs=None trains the full budget per trial
+            # (the reference's optuna study does; solver.py:361-384)
+            if tuning.trial_epochs is not None:
+                trial_cfg.trainer_config.max_epochs = min(
+                    tuning.trial_epochs, config.trainer_config.max_epochs
+                )
             trial_cfg.trainer_config.train_dir = str(
                 Path(config.trainer_config.train_dir) / "tuning"
             )

@@ -108,10 +108,71 @@ def test_hypertuning_random_search():
             c.output_filter_config.num_neurons_per_layer - 32
         ) / 16.0
 
-    best, results = mlp_hyperparameter_tuning(cfg, fake_train, seed=0)
+    best, results = mlp_hyperparameter_tuning(
+        cfg, fake_train, seed=0, sampler="random"
+    )
     assert len(results) >= 3
     best_obj = min(r.objective for r in results)
     assert fake_train(best) == best_obj
+
+
+def test_hypertuning_tpe_concentrates_on_good_region():
+    """The TPE sampler (the reference's optuna default) finds the optimum
+    and spends the post-startup budget near it."""
+    from diffgfdn_tpu.config.schema import (
+        DiffGFDNConfig,
+        MLPTuningConfig,
+        OutputFilterConfig,
+    )
+    from diffgfdn_tpu.training.hypertuning import mlp_hyperparameter_tuning
+
+    cfg = DiffGFDNConfig(
+        output_filter_config=OutputFilterConfig(
+            mlp_tuning_config=MLPTuningConfig(
+                min_layers=1, max_layers=8, min_neurons=16, max_neurons=128,
+                step_size=16, num_trials=20, sampler="tpe",
+            )
+        )
+    )
+
+    evals = []
+
+    def objective(c):
+        v = abs(c.output_filter_config.num_hidden_layers - 3) + abs(
+            c.output_filter_config.num_neurons_per_layer - 64
+        ) / 16.0
+        evals.append(v)
+        return v
+
+    best, results = mlp_hyperparameter_tuning(cfg, objective, seed=1)
+    assert best.output_filter_config.num_hidden_layers == 3
+    assert best.output_filter_config.num_neurons_per_layer == 64
+    # post-startup trials concentrate: the later half must average better
+    # than the first (random-startup) half
+    half = len(evals) // 2
+    assert np.mean(evals[half:]) <= np.mean(evals[:half])
+
+
+def test_hypertuning_optuna_falls_back_without_library():
+    from diffgfdn_tpu.config.schema import (
+        DiffGFDNConfig,
+        MLPTuningConfig,
+        OutputFilterConfig,
+    )
+    from diffgfdn_tpu.training.hypertuning import mlp_hyperparameter_tuning
+
+    cfg = DiffGFDNConfig(
+        output_filter_config=OutputFilterConfig(
+            mlp_tuning_config=MLPTuningConfig(
+                min_layers=1, max_layers=2, min_neurons=16, max_neurons=32,
+                step_size=16, num_trials=4, sampler="optuna",
+            )
+        )
+    )
+    best, results = mlp_hyperparameter_tuning(
+        cfg, lambda c: float(c.output_filter_config.num_hidden_layers), seed=0
+    )
+    assert results and best.output_filter_config.num_hidden_layers == 1
 
 
 def test_convert_mat_roundtrip(tmp_path):
