@@ -20,8 +20,51 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 # must beat xla_bridge backend initialization; the sitecustomize already set
 # jax_platforms to "axon,cpu" at interpreter start.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+
+# Central slow-test policy: long integration tests (>= ~9 s, mostly XLA
+# compile time) are marked `slow` here so `-m 'not slow'` gives a quick
+# default subset; the driver-contract dryrun stays in the quick set.
+SLOW_TESTS = {
+    "test_band_parallel_cli_honours_per_band_architectures",
+    "test_colorless_warm_start_through_solver",
+    "test_directional_solver_runs",
+    "test_synthesized_rirs_decay",
+    "test_dryrun_is_hermetic_wrt_default_device",
+    "test_band_parallel_early_stop_per_band",
+    "test_fit_indexed_resume_fresh_process",
+    "test_infer_from_checkpoint_and_export",
+    "test_band_parallel_cli_and_inference",
+    "test_fit_indexed_resume",
+    "test_csolve1_pallas_matches_gj_and_grads",
+    "test_time_domain_synthesis_svf_head_matches_freq_path",
+    "test_var_receiver_training_with_absorption_filters",
+    "test_var_receiver_pos_training_with_colorless_loss",
+    "test_band_parallel_training_step",
+    "test_time_domain_synthesis_matches_freq_path_filtered_absorption",
+    "test_pallas_cinv_matches_numpy",
+    "test_single_pos_svf_head_with_reg_loss",
+    "test_learnable_decay_times_training",
+    "test_var_receiver_pos_training_runs_and_improves",
+    "test_band_parallel_colorless_loss_terms",
+    "test_cnn_training_path",
+    "test_band_parallel_fit_indexed",
+    "test_polynomial_matrix_plots",
+    "test_freq_sharded_single_pos_step",
+    "test_single_pos_training",
+    "test_filter_coupling_paraunitary_loop",
+    "test_var_receiver_pos_svf_forward",
+    "test_sample_rate_mismatch_raises",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.name in SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)

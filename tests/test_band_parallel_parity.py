@@ -40,7 +40,7 @@ def test_band_parallel_cli_honours_per_band_architectures(
     )
     configs = [
         rst.create_config(
-            f, dataset, str(tmp_path / "bp"), num_freq_bins=1024,
+            f, dataset, str(tmp_path / "bp"), num_freq_bins=512,
             sample_rate=8000.0, max_epochs=2, batch_size=8,
         )
         for f in (500.0, 1000.0, 2000.0)

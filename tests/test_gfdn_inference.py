@@ -23,16 +23,16 @@ from diffgfdn_tpu.training.solver import (
 def room(tmp_path_factory):
     return synthetic_three_room_dataset(
         tmp_path_factory.mktemp("inf_data"),
-        nfft=2048,
+        nfft=1024,
         num_rec_per_room=6,
-        rir_len_s=0.25,
+        rir_len_s=0.125,
         decay_times=(0.08, 0.12, 0.1),
     )
 
 
 def _config(tmp_path, **kw):
     trainer = dict(
-        batch_size=4, num_freq_bins=2048, max_epochs=1, lr=1e-3,
+        batch_size=4, num_freq_bins=1024, max_epochs=1, lr=1e-3,
         train_dir=str(tmp_path / "train"), ir_dir=str(tmp_path / "audio"),
     )
     trainer.update(kw)
@@ -64,7 +64,7 @@ def test_infer_from_checkpoint_and_export(tmp_path, room):
 
     infer = InferDiffGFDN(cfg, room, variant="var_receiver")
     rirs = infer.rirs_at(np.arange(5), batch_size=4)
-    assert rirs.shape == (5, 2048)
+    assert rirs.shape == (5, 1024)
     assert np.isfinite(rirs).all()
     heads = infer.head_outputs(np.arange(5))
     assert heads["gains"].shape == (5, 3)
@@ -161,10 +161,10 @@ def test_time_domain_synthesis_matches_freq_path_filtered_absorption():
     from diffgfdn_tpu.utils.cio import encode_batch, init_with_batch
 
     fs = 8000.0
-    nfft = 8192
+    nfft = 4096
     sos = decay_times_to_gain_filters_geq(
         np.array([125.0, 250.0, 500.0, 1000.0, 2000.0]),
-        np.array([0.14, 0.11, 0.09, 0.07, 0.05]),
+        np.array([0.09, 0.08, 0.07, 0.06, 0.05]),
         np.asarray((163, 179, 191, 211)),
         fs,
     )
@@ -196,10 +196,10 @@ def test_time_domain_synthesis_svf_head_matches_freq_path():
     from diffgfdn_tpu.utils.cio import encode_batch, init_with_batch
 
     fs = 8000.0
-    nfft = 8192
+    nfft = 4096
     gains = np.asarray(
         decay_times_to_gain_per_sample(
-            0.08, np.asarray((163, 179, 191, 211)), fs
+            0.07, np.asarray((163, 179, 191, 211)), fs
         )
     )
     model = _td_model(use_svf=True, gains=gains, fs=fs)

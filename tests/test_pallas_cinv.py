@@ -83,7 +83,7 @@ def test_csolve1_pallas_matches_gj_and_grads():
     from diffgfdn_tpu.kernels.linalg import csolve1, csolve1_pallas
 
     rng = np.random.RandomState(1)
-    k, n = 90, 6
+    k, n = 48, 4
     m = (rng.randn(k, n, n) + 1j * rng.randn(k, n, n)).astype(np.complex64)
     m += 4 * np.eye(n, dtype=np.complex64)
     b = (rng.randn(n) + 1j * rng.randn(n)).astype(np.complex64)

@@ -69,8 +69,8 @@ def test_colorless_warm_start_through_solver(tmp_path):
     from diffgfdn_tpu.training.solver import run_training_var_receiver_pos
 
     room = synthetic_three_room_dataset(
-        tmp_path, nfft=1024, num_rec_per_room=6, rir_len_s=0.12,
-        decay_times=(0.04, 0.07, 0.05),
+        tmp_path, nfft=512, num_rec_per_room=6, rir_len_s=0.06,
+        decay_times=(0.02, 0.035, 0.025),
     )
     cfg = DiffGFDNConfig(
         seed=11,
@@ -79,7 +79,7 @@ def test_colorless_warm_start_through_solver(tmp_path):
         num_delay_lines=6,
         delay_range_ms=[20.0, 45.0],
         trainer_config=TrainerConfig(
-            batch_size=6, num_freq_bins=1024, max_epochs=1, lr=1e-3,
+            batch_size=6, num_freq_bins=512, max_epochs=1, lr=1e-3,
             train_dir=str(tmp_path / "train"), ir_dir=str(tmp_path / "audio"),
         ),
         output_filter_config=OutputFilterConfig(
@@ -88,7 +88,7 @@ def test_colorless_warm_start_through_solver(tmp_path):
         ),
         decay_filter_config={"use_absorption_filters": False},
         colorless_fdn_config=ColorlessFDNConfig(
-            use_colorless_prototype=True, max_epochs=2, batch_size=64, lr=0.02
+            use_colorless_prototype=True, max_epochs=1, batch_size=64, lr=0.02
         ),
     )
     trainer, params = run_training_var_receiver_pos(cfg, room_data=room)

@@ -25,7 +25,7 @@ from diffgfdn_tpu.ops.unitary import orthogonal_from_skew
 def small_config(tmp_path, **trainer_kwargs) -> DiffGFDNConfig:
     trainer = dict(
         batch_size=4,
-        num_freq_bins=2048,
+        num_freq_bins=1024,
         max_epochs=2,
         lr=1e-3,
         io_lr=1e-3,
@@ -55,9 +55,9 @@ def small_config(tmp_path, **trainer_kwargs) -> DiffGFDNConfig:
 def room(tmp_path_factory):
     return synthetic_three_room_dataset(
         tmp_path_factory.mktemp("train_data"),
-        nfft=2048,
+        nfft=1024,
         num_rec_per_room=8,
-        rir_len_s=0.25,
+        rir_len_s=0.125,
         decay_times=(0.08, 0.12, 0.1),
     )
 
@@ -137,7 +137,7 @@ def test_single_pos_training(tmp_path, room):
         sample_rate=room.sample_rate,
         common_decay_times=room.common_decay_times,
         band_centre_hz=room.band_centre_hz,
-        nfft=2048,
+        nfft=1024,
     )
     trainer, params = run_training_single_pos(cfg, rir_data=rir_data)
     assert len(trainer.train_loss) == 2
