@@ -6,9 +6,16 @@
 // Built as a shared library, bound via ctypes (diffgfdn_tpu/native/tdfdn.py).
 //
 // Model (matches the frequency-sampled transfer function, see
-// models/feedback_loop.py): per line i with delay m_i and whole-delay gain
-// g_i, the delay-line output is y_i[t] = g_i * x_i[t - m_i];
+// models/feedback_loop.py): per line i with delay m_i and absorption
+// gamma_i (a scalar gain OR an SOS biquad cascade), the delay-line output
+// is y_i[t] = (gamma_i * x_i)[t - m_i];
 // x[t] = A y[t] + b u[t]; output_j[t] = c_j . y[t] + d * u[t].
+//
+// Frequency-dependent decay: tdfdn_set_absorption_sos installs per-line
+// biquad cascades (the GEQ fits from ops/absorption.py), run in transposed
+// direct-form II — the same realization the TPU core's block state-space
+// composition uses (kernels/tdgfdn.py sos_cascade_to_statespace), so both
+// paths are sample-exact against each other.
 
 #include <cstdlib>
 #include <cstring>
@@ -25,7 +32,26 @@ struct TDFDN {
     std::vector<std::vector<float>> ring;  // per-line ring buffers
     std::vector<int> pos;       // ring write/read cursor per line
     std::vector<float> y;       // scratch: current delay-line outputs
+    // optional per-line SOS absorption: n x n_sections x 6 (b0 b1 b2 a0 a1
+    // a2, normalized so a0 == 1 at install time) + n x n_sections x 2 state
+    int n_sections = 0;
+    std::vector<float> sos;
+    std::vector<float> sos_state;
 };
+
+inline float run_cascade(TDFDN* f, int line, float x) {
+    const int s = f->n_sections;
+    float* coeff = f->sos.data() + (size_t)line * s * 6;
+    float* state = f->sos_state.data() + (size_t)line * s * 2;
+    for (int k = 0; k < s; ++k, coeff += 6, state += 2) {
+        // transposed direct-form II biquad
+        const float y = coeff[0] * x + state[0];
+        state[0] = coeff[1] * x - coeff[4] * y + state[1];
+        state[1] = coeff[2] * x - coeff[5] * y;
+        x = y;
+    }
+    return x;
+}
 
 }  // namespace
 
@@ -52,6 +78,20 @@ void tdfdn_reset(TDFDN* f) {
     for (int i = 0; i < f->n; ++i)
         std::fill(f->ring[i].begin(), f->ring[i].end(), 0.0f);
     std::fill(f->pos.begin(), f->pos.end(), 0);
+    std::fill(f->sos_state.begin(), f->sos_state.end(), 0.0f);
+}
+
+// Install per-line SOS absorption cascades, replacing the scalar gains.
+//   sos: n x n_sections x 6 coefficients (b0 b1 b2 a0 a1 a2), row major.
+void tdfdn_set_absorption_sos(TDFDN* f, const float* sos, int n_sections) {
+    f->n_sections = n_sections;
+    f->sos.assign(sos, sos + (size_t)f->n * n_sections * 6);
+    // normalize each section by its a0 once, so the hot loop skips it
+    for (size_t k = 0; k < f->sos.size(); k += 6) {
+        const float a0 = f->sos[k + 3];
+        for (int j = 0; j < 6; ++j) f->sos[k + j] /= a0;
+    }
+    f->sos_state.assign((size_t)f->n * n_sections * 2, 0.0f);
 }
 
 // Process n_samples through the FDN for n_outs simultaneous output taps.
@@ -62,10 +102,15 @@ void tdfdn_reset(TDFDN* f) {
 void tdfdn_process(TDFDN* f, const float* in, long n_samples, const float* c,
                    int n_outs, float direct, float* out) {
     const int n = f->n;
+    const bool filtered = f->n_sections > 0;
     for (long t = 0; t < n_samples; ++t) {
-        // read delayed, attenuated line outputs
-        for (int i = 0; i < n; ++i) {
-            f->y[i] = f->gains[i] * f->ring[i][f->pos[i]];
+        // read delayed, absorbed line outputs
+        if (filtered) {
+            for (int i = 0; i < n; ++i)
+                f->y[i] = run_cascade(f, i, f->ring[i][f->pos[i]]);
+        } else {
+            for (int i = 0; i < n; ++i)
+                f->y[i] = f->gains[i] * f->ring[i][f->pos[i]];
         }
         const float u = in[t];
         // outputs: C y + d u

@@ -56,6 +56,11 @@ def _load() -> ctypes.CDLL:
             ]
             lib.tdfdn_destroy.argtypes = [ctypes.c_void_p]
             lib.tdfdn_reset.argtypes = [ctypes.c_void_p]
+            lib.tdfdn_set_absorption_sos.argtypes = [
+                ctypes.c_void_p,
+                np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+                ctypes.c_int,
+            ]
             lib.tdfdn_process.argtypes = [
                 ctypes.c_void_p,
                 np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
@@ -84,14 +89,22 @@ class NativeGFDNRenderer:
 
     Args mirror the time-domain core (kernels/tdgfdn.py): ``delays`` in
     samples, ``gains`` whole-delay absorption gains, ``feedback_matrix``
-    (N, N), ``input_gains`` (N,).
+    (N, N), ``input_gains`` (N,). ``sos_coeffs`` (N, S, 3, 2) installs
+    per-line SOS absorption cascades instead of the scalar gains (the GEQ
+    fits from ops/absorption.py) — frequency-dependent decay in the
+    streaming path, sample-exact vs the TPU core's block state-space
+    filtering.
     """
 
-    def __init__(self, delays, gains, feedback_matrix, input_gains):
+    def __init__(
+        self, delays, gains, feedback_matrix, input_gains, sos_coeffs=None
+    ):
         lib = _load()
         self._lib = lib
         self.n = len(delays)
         self._delays = np.ascontiguousarray(delays, np.int32)
+        if gains is None:
+            gains = np.ones(self.n, np.float32)
         self._gains = np.ascontiguousarray(gains, np.float32)
         self._a = np.ascontiguousarray(feedback_matrix, np.float32).reshape(
             self.n, self.n
@@ -100,6 +113,19 @@ class NativeGFDNRenderer:
         self._handle = lib.tdfdn_create(
             self.n, self._delays, self._gains, self._a, self._b
         )
+        self._sos = None
+        if sos_coeffs is not None:
+            self.set_absorption_sos(sos_coeffs)
+
+    def set_absorption_sos(self, sos_coeffs: np.ndarray) -> None:
+        """Install (N, S, 3, 2) absorption cascades (num/den on last axis)."""
+        sos = np.asarray(sos_coeffs, np.float64)
+        n, s = sos.shape[:2]
+        assert n == self.n, (n, self.n)
+        # (N, S, 6): b0 b1 b2 a0 a1 a2
+        packed = np.concatenate([sos[..., 0], sos[..., 1]], axis=-1)
+        self._sos = np.ascontiguousarray(packed, np.float32)
+        self._lib.tdfdn_set_absorption_sos(self._handle, self._sos, int(s))
 
     def process(
         self,

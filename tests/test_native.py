@@ -79,3 +79,43 @@ def test_native_realtime_factor():
     r.process(u, c[:1])
     dt = time.perf_counter() - t0
     assert 1.0 / dt > 5.0, f"only {1.0 / dt:.1f}x realtime"
+
+
+def test_native_filtered_absorption_matches_jax_filtered_core():
+    """SOS absorption in the streaming renderer == the TPU core's block
+    state-space filtering (both realize the same TDF-II cascades)."""
+    from diffgfdn_tpu.kernels.tdgfdn import (
+        delay_line_outputs_filtered,
+        filter_bank_from_sos,
+    )
+    from diffgfdn_tpu.ops.absorption import decay_times_to_gain_filters_geq
+
+    rng = np.random.RandomState(4)
+    sos = decay_times_to_gain_filters_geq(
+        np.array([250.0, 500.0, 1000.0, 2000.0]),
+        np.array([0.08, 0.07, 0.06, 0.05]),
+        np.asarray(DELAYS),
+        FS,
+    )  # (6, 7, 3, 2)
+    a = np.linalg.qr(rng.randn(6, 6))[0].astype(np.float32)
+    b = rng.randn(6).astype(np.float32)
+    c = rng.randn(2, 6).astype(np.float32)
+    u = rng.randn(3000).astype(np.float32)
+
+    bank = filter_bank_from_sos(sos, DELAYS)
+    y = np.asarray(
+        delay_line_outputs_filtered(
+            DELAYS, bank, jnp.asarray(a), jnp.asarray(b), jnp.asarray(u)
+        )
+    )
+    ref = (y @ c.T).T  # (2, T)
+
+    renderer = NativeGFDNRenderer(DELAYS, None, a, b, sos_coeffs=sos)
+    out = renderer.process(u, c)
+    assert np.allclose(out, ref, atol=5e-4), np.abs(out - ref).max()
+
+    # streaming in blocks keeps filter state
+    renderer2 = NativeGFDNRenderer(DELAYS, None, a, b, sos_coeffs=sos)
+    parts = [renderer2.process(u[i : i + 640], c) for i in range(0, 3000, 640)]
+    streamed = np.concatenate(parts, axis=-1)
+    assert np.allclose(streamed, out, atol=1e-5)
