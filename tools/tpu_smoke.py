@@ -275,8 +275,8 @@ def smoke_band_parallel(tmp):
         )
         for fc in (500.0, 1000.0)
     ]
-    history = training_band_parallel(configs, room_data=room)
-    return history.ravel()
+    histories = training_band_parallel(configs, room_data=room)
+    return np.concatenate([h.ravel() for h in histories])
 
 
 def smoke_inference(tmp):
