@@ -65,12 +65,15 @@ def svf_params_to_response(
     cutoffs: np.ndarray,
     z: jnp.ndarray,
     compress_pole_factor: float = 1.0,
+    use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Constrained SVF params -> cascade frequency response.
 
     ``svf_params``: (..., K, 2) raw MLP outputs; channel 0 is resonance
     (constrained to (1e-6, 1)), channel 1 gain in dB (constrained to
     (-6, 6)). Returns (response (..., F), num (..., K, 3), den (..., K, 3)).
+    ``use_pallas`` is a TPU-placement assertion (fused cascade kernel,
+    kernels.pallas_sos).
     """
     res = scaled_sigmoid(svf_params[..., 0], 1e-6, 1.0)
     g_db = scaled_sigmoid(svf_params[..., 1], -6.0, 6.0)
@@ -81,7 +84,18 @@ def svf_params_to_response(
     num, den = svf_to_biquad(
         cut.reshape(shape), res, ftypes.reshape(shape), g_db, compress_pole_factor
     )
-    resp = sos_frequency_response(num, den, z)
+    if use_pallas:
+        from ..kernels.pallas_sos import sos_cascade_response_pallas
+
+        bshape = jnp.broadcast_shapes(num.shape, den.shape)
+        resp = sos_cascade_response_pallas(
+            jnp.broadcast_to(num, bshape),
+            jnp.broadcast_to(den, bshape),
+            z,
+            interpret=False,
+        )
+    else:
+        resp = sos_frequency_response(num, den, z)
     return resp, num, den
 
 
@@ -100,6 +114,9 @@ class SVFFromMLP(nn.Module):
     encoding_type: FeatureEncodingType = FeatureEncodingType.SINE
     compress_pole_factor: float = 1.0
     position_key: str = "listener_position"
+    # fused Pallas cascade kernel; a TPU-placement assertion resolved at
+    # model build time (see utils.placement)
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: dict, return_params: bool = False):
@@ -129,7 +146,8 @@ class SVFFromMLP(nn.Module):
             svf = svf_all[rec_idx]
 
         resp, num, den = svf_params_to_response(
-            svf, cutoffs, z, self.compress_pole_factor
+            svf, cutoffs, z, self.compress_pole_factor,
+            use_pallas=self.use_pallas,
         )
         if return_params:
             res = scaled_sigmoid(svf[..., 0], 1e-6, 1.0)

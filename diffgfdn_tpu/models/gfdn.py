@@ -270,6 +270,7 @@ class DiffGFDNVarReceiverPos(DiffGFDN):
                 num_neurons=self.num_neurons,
                 encoding_type=self.encoding_type,
                 compress_pole_factor=self.compress_pole_factor,
+                use_pallas=bool(self.use_pallas_inverse),
             )
         else:
             self.output_scalars = GainsFromMLP(
