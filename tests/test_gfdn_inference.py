@@ -214,3 +214,49 @@ def test_time_domain_synthesis_svf_head_matches_freq_path():
     )
     peak = np.max(np.abs(rir_fd))
     assert np.max(np.abs(rir_td - rir_fd)) < 5e-3 * peak
+
+
+def test_time_domain_synthesis_filter_coupling_scalar_gains():
+    """FILTER-mode (FIR-paraunitary) coupling through the model-level
+    time-domain synthesis entry (polynomial feedback + trivial gain bank)."""
+    import jax
+
+    from diffgfdn_tpu.inference.gfdn_inference import (
+        make_rir_synthesis_fn,
+        make_time_domain_synthesis_fn,
+    )
+    from diffgfdn_tpu.models import DiffGFDNVarReceiverPos
+    from diffgfdn_tpu.ops.absorption import decay_times_to_gain_per_sample
+    from diffgfdn_tpu.utils.cio import encode_batch, init_with_batch
+
+    fs = 8000.0
+    nfft = 4096
+    gains = np.asarray(
+        decay_times_to_gain_per_sample(
+            0.06, np.asarray((163, 179, 191, 211)), fs
+        )
+    )
+    from diffgfdn_tpu.config.schema import CouplingMatrixType
+
+    model = DiffGFDNVarReceiverPos(
+        sample_rate=fs,
+        num_groups=2,
+        delays=(163, 179, 191, 211),
+        gains=gains,
+        coupling_matrix_type=CouplingMatrixType.FILTER,
+        coupling_matrix_order=6,
+        use_svf_in_output=False,
+        num_hidden_layers=1,
+        num_neurons=16,
+        num_fourier_features=4,
+    )
+    batch = _td_batch(nfft // 2 + 1, batch=2, seed=5)
+    params = init_with_batch(model, jax.random.PRNGKey(2), batch)
+    rir_fd = np.asarray(
+        make_rir_synthesis_fn(model)(params, encode_batch(batch))
+    )
+    rir_td = np.asarray(
+        make_time_domain_synthesis_fn(model, params, nfft)(batch)
+    )
+    peak = np.max(np.abs(rir_fd))
+    assert np.max(np.abs(rir_td - rir_fd)) < 5e-3 * peak
