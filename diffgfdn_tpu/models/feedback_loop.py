@@ -315,20 +315,27 @@ class FeedbackLoop(nn.Module):
     ) -> jnp.ndarray:
         """q(z) = P(z) b (or P(z)^T b), shape (F, N) complex64.
 
-        ``use_solve=True`` runs a single-RHS Gauss-Jordan solve — ~1.6x
-        faster than the full inverse for FORWARD-ONLY use (inference/
-        synthesis). For training the default inverse path wins: its VJP is
-        two batched matmuls on the saved P, whereas the solve's VJP must
-        run a second (transposed) elimination (measured ~1.7x slower
-        end-to-end with gradients).
+        Implementation selection:
+        * Pallas path (TPU placement): ALWAYS the fused solve
+          (kernels.linalg.csolve1_pallas) — its forward runs the same
+          Gauss-Jordan inverse kernel + one matvec, and its VJP is two
+          O(N^2) matvecs on the saved inverse, vs the full-inverse path's
+          two O(N^3) batched matmuls (the dominant backward cost at
+          N = 27 directional scale).
+        * XLA path: ``use_solve=True`` runs a single-RHS Gauss-Jordan
+          solve — ~1.6x faster than the full inverse for FORWARD-ONLY use;
+          for training the inverse wins there because the XLA solve's VJP
+          must run a second (transposed) elimination (measured ~1.7x
+          slower end-to-end with gradients).
         """
         b_c = b_vec.astype(jnp.complex64)
+        pallas = self._pallas_inverse()
         if self.is_block_diagonal:
             g = self.num_groups
             nper = self.num_delay_lines_per_group
             f = z.shape[0]
             b_g = b_c.reshape(g, nper)
-            if use_solve:
+            if use_solve or pallas:
                 m = self.loop_matrix_blocks(z)
                 if transpose:
                     m = jnp.swapaxes(m, -1, -2)
@@ -342,7 +349,7 @@ class FeedbackLoop(nn.Module):
                 eq = "gfnm,gn->gfm" if transpose else "gfnm,gm->gfn"
                 q = jnp.einsum(eq, p_blocks, b_g, precision=_F32)
             return jnp.transpose(q, (1, 0, 2)).reshape(f, self.num_delays)
-        if use_solve:
+        if use_solve or pallas:
             m = self.loop_matrix(z)
             if transpose:
                 m = jnp.swapaxes(m, -1, -2)
