@@ -181,10 +181,10 @@ def training_band_parallel(configs, room_data=None):
             example, seeds=[c.seed for c in group]
         )
 
-        def on_epoch(epoch, ep_params, train_losses, valid_losses, active):
+        def on_epoch(epoch, ep_params, train_losses, valid_losses, trained):
             for b, cfg in enumerate(group):
-                if active[b] == 0.0 and epoch > 0:
-                    continue  # band already stopped; its last ckpt stands
+                if trained[b] == 0.0 and epoch > 0:
+                    continue  # band frozen this epoch; its last ckpt stands
                 band_params = jax.tree_util.tree_map(
                     lambda x: np.asarray(x[b]), ep_params
                 )

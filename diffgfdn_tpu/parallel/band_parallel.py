@@ -311,8 +311,9 @@ class BandParallelTrainer:
         early-stops each band independently (|delta valid| <= tol for
         ``patience`` epochs, reference trainer.py:417-424); stopped bands
         freeze while the rest continue. ``on_epoch(epoch, params,
-        train_losses, valid_losses, active)`` runs after every epoch (e.g.
-        to checkpoint per band).
+        train_losses, valid_losses, trained_mask)`` runs after every epoch
+        (e.g. to checkpoint per band); ``trained_mask[b] == 1`` means band
+        b trained THIS epoch (frozen bands show 0 and need no checkpoint).
         """
         from ..training.trainer import padded_batches
 
@@ -336,6 +337,11 @@ class BandParallelTrainer:
         streak = np.zeros(nb_bands, np.int64)
         self.train_loss, self.valid_loss = [], []
         for epoch in range(max_epochs):
+            # bands active at the START of the epoch: these trained this
+            # epoch, so on_epoch must still checkpoint them even if the
+            # post-epoch validation freezes them (their last update lands
+            # in this epoch's state)
+            trained_this_epoch = active.copy()
             active_dev = jnp.asarray(active)
             perm = train_idx[rng.permutation(len(train_idx))]
             totals, nb = None, 0
@@ -370,7 +376,10 @@ class BandParallelTrainer:
                     ).astype(np.float32)
 
             if on_epoch is not None:
-                on_epoch(epoch, params, self.train_loss[-1], v_epoch, active)
+                on_epoch(
+                    epoch, params, self.train_loss[-1], v_epoch,
+                    trained_this_epoch,
+                )
             if vbs is not None and not active.any():
                 break
         return params, opt_state, np.stack(self.train_loss)

@@ -101,22 +101,21 @@ def test_band_parallel_early_stop_per_band(dataset, tmp_path):
     example = next(iter(iterate_batches(arrays, train_idx, 8, shuffle=False)))
     params, opt_state = trainer.init(example, seeds=[1, 2])
 
-    stopped_at = {}
+    trained_masks = []
 
-    def on_epoch(epoch, ep_params, train_losses, valid_losses, active):
+    def on_epoch(epoch, ep_params, train_losses, valid_losses, trained):
         assert valid_losses is not None and valid_losses.shape == (2,)
-        for b in range(2):
-            if active[b] == 0.0 and b not in stopped_at:
-                stopped_at[b] = epoch
+        trained_masks.append(trained.copy())
 
     params, _, history = trainer.fit_indexed(
         params, opt_state, arrays, train_idx=train_idx, valid_idx=valid_idx,
         max_epochs=8, on_epoch=on_epoch,
     )
-    # both bands stop after 2 epochs (patience=1 needs 2 valid points)
+    # both bands stop after 2 epochs (patience=1 needs 2 valid points);
+    # both TRAINED through both epochs, so both get checkpoints for them
     assert history.shape[0] == 2
-    assert stopped_at == {0: 1, 1: 1}
     assert len(trainer.valid_loss) == 2
+    assert all(m.all() for m in trained_masks), trained_masks
 
 
 def test_band_parallel_colorless_loss_terms(dataset, tmp_path):
