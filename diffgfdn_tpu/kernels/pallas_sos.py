@@ -22,7 +22,6 @@ only where placement is known-TPU (see kernels.pallas_cinv docstring).
 """
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -208,13 +207,17 @@ def sos_cascade_response_pallas(
     lead = num.shape[:-2]
     k = num.shape[-2]
     r = int(np.prod(lead)) if lead else 1
+    # pad rows to a sublane multiple (8) with pass-through sections
+    r_pad = int(np.ceil(r / 8)) * 8
+    num_r = num.reshape(r, k, 3).astype(jnp.float32)
+    den_r = den.reshape(r, k, 3).astype(jnp.float32)
+    if r_pad != r:
+        unit = jnp.zeros((r_pad - r, k, 3), jnp.float32).at[:, :, 0].set(1.0)
+        num_r = jnp.concatenate([num_r, unit], axis=0)
+        den_r = jnp.concatenate([den_r, unit], axis=0)
     zinv = (1.0 / z).astype(jnp.complex64)
     z_enc = jnp.stack(
         [jnp.real(zinv), jnp.imag(zinv)], axis=-1
     ).astype(jnp.float32)
-    out = _cascade_for(interpret)(
-        num.reshape(r, k, 3).astype(jnp.float32),
-        den.reshape(r, k, 3).astype(jnp.float32),
-        z_enc,
-    )
+    out = _cascade_for(interpret)(num_r, den_r, z_enc)[:r]
     return out.reshape(*lead, z.shape[0])

@@ -162,6 +162,13 @@ class FeedbackLoop(nn.Module):
         """Per-line absorption filter responses, shape (N, F)."""
         if self.sos_coeffs is not None:
             coeffs = jnp.asarray(self.sos_coeffs, jnp.float32)
+            if self._pallas_inverse():
+                # same TPU-placement contract as the inverse kernel
+                from ..kernels.pallas_sos import sos_cascade_response_pallas
+
+                return sos_cascade_response_pallas(
+                    coeffs[..., 0], coeffs[..., 1], z, interpret=False
+                )
             return sos_frequency_response(coeffs[..., 0], coeffs[..., 1], z)
         coeffs = jnp.asarray(self.iir_coeffs, jnp.float32)
         return iir_frequency_response(coeffs[..., 0], coeffs[..., 1], z)
