@@ -50,30 +50,39 @@ def build_spatial_model(
     num_slopes: int,
     ambi_order: Optional[int],
 ):
-    """Instantiate the configured CS-amplitude DNN."""
+    """Instantiate the configured CS-amplitude DNN.
+
+    Missing ``mlp_config``/``cnn_config`` sections mean default
+    hyperparameters (several reference presets omit them; the reference's
+    schema annotates the fields with default-constructed instances).
+    """
+    from ..config.schema import CNNConfig, MLPConfig
+
     dnn = config.dnn_config
+    mlp = dnn.mlp_config or MLPConfig()
+    cnn = dnn.cnn_config or CNNConfig()
     if config.use_directional_rirs:
         if config.network_type == DNNType.MLP:
             return DirectionalBeamformerWeightsMLP(
                 num_groups=num_slopes,
                 ambi_order=ambi_order,
                 num_fourier_features=dnn.num_fourier_features,
-                num_hidden_layers=dnn.mlp_config.num_hidden_layers,
-                num_neurons=dnn.mlp_config.num_neurons_per_layer,
+                num_hidden_layers=mlp.num_hidden_layers,
+                num_neurons=mlp.num_neurons_per_layer,
             )
         return DirectionalBeamformerWeightsCNN(
             num_groups=num_slopes,
             ambi_order=ambi_order,
             num_fourier_features=dnn.num_fourier_features,
-            num_hidden_channels=dnn.cnn_config.num_hidden_channels,
-            num_layers=dnn.cnn_config.num_layers,
-            kernel_size=tuple(dnn.cnn_config.kernel_size),
+            num_hidden_channels=cnn.num_hidden_channels,
+            num_layers=cnn.num_layers,
+            kernel_size=tuple(cnn.kernel_size),
         )
     return OmniAmplitudesMLP(
         num_groups=num_slopes,
         num_fourier_features=dnn.num_fourier_features,
-        num_hidden_layers=dnn.mlp_config.num_hidden_layers,
-        num_neurons=dnn.mlp_config.num_neurons_per_layer,
+        num_hidden_layers=mlp.num_hidden_layers,
+        num_neurons=mlp.num_neurons_per_layer,
         gain_limits=(1e-5, 1.0),
     )
 
