@@ -114,10 +114,21 @@ def get_amps_for_rir(
     return np.moveaxis(amps, -1, 0)
 
 
-def _edc_design_matrix(t: np.ndarray, t60s: np.ndarray) -> np.ndarray:
-    """[exp(-t ln1e6 / T_k) | flipped-ramp noise column], shape (T, K+1)."""
+def _edc_design_matrix(
+    t: np.ndarray, t60s: np.ndarray, noise_ramp: Optional[np.ndarray] = None
+) -> np.ndarray:
+    """[exp(-t ln1e6 / T_k) | noise column], shape (T, K+1).
+
+    The noise column is the Schroeder backward integral of a constant
+    noise floor — LINEAR IN REMAINING TIME, not in array index. On a
+    uniform grid that's flip(arange(1, T+1)); callers fitting on a
+    subsampled grid must pass the true remaining-sample counts via
+    ``noise_ramp``.
+    """
     cols = [np.exp(-t * LOG10E6 / T) for T in np.atleast_1d(t60s)]
-    cols.append(np.flip(np.arange(1, len(t) + 1)).astype(np.float64))
+    if noise_ramp is None:
+        noise_ramp = np.flip(np.arange(1, len(t) + 1)).astype(np.float64)
+    cols.append(np.asarray(noise_ramp, np.float64))
     return np.stack(cols, axis=-1)
 
 
@@ -127,6 +138,7 @@ def _fit_edc_fixed_order(
     n_slopes: int,
     t60_grid: np.ndarray,
     refine: bool = True,
+    noise_ramp: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray, float, float]:
     """(T60s, amps, noise, mean-abs-dB error) for one EDC at a fixed order.
 
@@ -134,6 +146,8 @@ def _fit_edc_fixed_order(
     closed-form NNLS solution; the decay times themselves are grid-
     initialized (best n_slopes-subset of ``t60_grid``) then refined with
     bounded nonlinear least squares on the dB-domain residual.
+    ``noise_ramp``: remaining-sample counts at each ``t`` (required when
+    the EDC is subsampled non-uniformly).
     """
     from itertools import combinations
 
@@ -142,7 +156,7 @@ def _fit_edc_fixed_order(
     log_edc = 10.0 * np.log10(edc + 1e-20)
 
     def amps_and_err(t60s):
-        k = _edc_design_matrix(t, t60s)
+        k = _edc_design_matrix(t, t60s, noise_ramp)
         sol, _ = nnls(k, edc)
         resid = 10.0 * np.log10(k @ sol + 1e-20) - log_edc
         return sol, resid
@@ -227,10 +241,13 @@ def estimate_decay_params(
         )
         edc_ds = edc[pick]
         t = pick / fs
+        # Schroeder noise floor integrates to remaining SAMPLES, which on
+        # this non-uniform grid is NOT linear in subsample index
+        ramp = (len(edc) - pick).astype(np.float64)
 
         if auto:
             fits = [
-                _fit_edc_fixed_order(edc_ds, t, n, t60_grid)
+                _fit_edc_fixed_order(edc_ds, t, n, t60_grid, noise_ramp=ramp)
                 for n in range(1, max_slopes + 1)
             ]
             errs = np.array([f[3] for f in fits])
@@ -240,7 +257,9 @@ def estimate_decay_params(
             amps[b, : chosen + 1] = aa
             noise[b] = nn
         else:
-            tt, aa, nn, _ = _fit_edc_fixed_order(edc_ds, t, n_slopes, t60_grid)
+            tt, aa, nn, _ = _fit_edc_fixed_order(
+                edc_ds, t, n_slopes, t60_grid, noise_ramp=ramp
+            )
             t60s[b], amps[b], noise[b] = tt, aa, nn
     return t60s, amps, noise
 
@@ -261,7 +280,8 @@ def estimate_edc_parameters(
     """
     filtered = octave_filtering(np.asarray(rir, np.float64), fs,
                                 list(filter_frequencies))
-    norm_vals = schroeder_edc(filtered)[0]  # (n_bands,) EDC peak values
+    # EDC peak per band = total band energy (integrate over TIME, axis 0)
+    norm_vals = schroeder_edc(filtered, axis=0)[0]  # (n_bands,)
 
     t60s, amps, noise = estimate_decay_params(
         rir, n_slopes, fs, f_bands=list(filter_frequencies)

@@ -49,12 +49,19 @@ def main(argv=None):
     )
 
     if config.ir_path is not None:
+        if args.resume:
+            parser.error(
+                "--resume is not supported for single-position fits "
+                "(they train in seconds from scratch)"
+            )
         run_training_single_pos(config)
     elif config.ambi_order is not None:
         from ..data.spatial_dataset import SpatialThreeRoomDataset
 
         room_data = SpatialThreeRoomDataset(config.room_dataset_path)
-        run_training_anisotropic_decay_var_receiver_pos(config, room_data)
+        run_training_anisotropic_decay_var_receiver_pos(
+            config, room_data, resume=args.resume
+        )
     else:
         run_training_var_receiver_pos(config, export_irs=True, resume=args.resume)
 

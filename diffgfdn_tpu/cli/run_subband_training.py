@@ -244,12 +244,13 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
-    sample_rate = args.sample_rate
-    if sample_rate is None:
-        import pickle
+    # load the dataset ONCE: it provides the sample rate and is reused by
+    # the training/inference paths (a separate peek would deserialize the
+    # multi-GB pickle twice)
+    from ..data.room_dataset import ThreeRoomDataset
 
-        with open(args.dataset, "rb") as f:
-            sample_rate = float(pickle.load(f)["fs"])
+    room_data = ThreeRoomDataset(args.dataset, nfft=args.num_freq_bins)
+    sample_rate = args.sample_rate or float(room_data.sample_rate)
     configs = [
         create_config(
             f, args.dataset, args.train_dir, args.num_freq_bins,
@@ -258,14 +259,14 @@ def main(argv=None):
         for f in args.freqs
     ]
     if args.infer:
-        rirs = inferencing(configs)
+        rirs = inferencing(configs, room_data=room_data)
         out = Path(args.train_dir) / "broadband_rirs.npy"
         np.save(out, rirs)
         print(f"saved broadband RIRs to {out}")
     elif args.band_parallel:
-        training_band_parallel(configs)
+        training_band_parallel(configs, room_data=room_data)
     else:
-        training(configs)
+        training(configs, room_data=room_data)
 
 
 if __name__ == "__main__":

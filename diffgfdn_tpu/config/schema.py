@@ -12,7 +12,7 @@ Differences from the reference (deliberate, TPU-first):
 """
 
 from enum import Enum
-from typing import List, Optional, Tuple
+from typing import Literal, List, Optional, Tuple
 
 import numpy as np
 from pydantic import BaseModel, computed_field, ConfigDict, Field, model_validator
@@ -70,7 +70,7 @@ class MLPTuningConfig(BaseModel):
     num_trials: int = 50
     # "tpe" (Tree-structured Parzen Estimator, the reference's optuna
     # default), "random", or "optuna" (used when importable)
-    sampler: str = "tpe"
+    sampler: Literal["tpe", "random", "optuna"] = "tpe"
     # epochs per trial training; None = the full trainer budget
     # (the reference trains full runs per trial, solver.py:361-384)
     trial_epochs: Optional[int] = 2

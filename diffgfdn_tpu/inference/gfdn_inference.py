@@ -96,71 +96,73 @@ def make_time_domain_synthesis_fn(model, params, num_samples: int):
 
     use_svf = bool(getattr(model, "use_svf_in_output", False))
 
-    def synth(batch) -> jnp.ndarray:
-        enc = encode_batch(batch)
-        a, b, gamma = jax.jit(
-            lambda p, e: model.apply(
-                p, decode_batch(e), method=_statics
-            )
-        )(params, enc)
-        a_np = np.asarray(a)
-        if model.sos_coeffs is not None:
-            bank = filter_bank_from_sos(np.asarray(model.sos_coeffs), delays)
-            y = delay_line_outputs_filtered(
-                delays, bank, a, b,
-                jnp.zeros(num_samples, jnp.float32).at[0].set(1.0),
-            )
-        elif model.iir_coeffs is not None:
-            bank = filter_bank_from_iir(np.asarray(model.iir_coeffs), delays)
-            y = delay_line_outputs_filtered(
-                delays, bank, a, b,
-                jnp.zeros(num_samples, jnp.float32).at[0].set(1.0),
-            )
-        elif a_np.ndim == 3:  # FILTER coupling with scalar absorption
-            bank = filter_bank_from_gains(np.asarray(gamma), delays)
-            y = delay_line_outputs_filtered(
-                delays, bank, a, b,
-                jnp.zeros(num_samples, jnp.float32).at[0].set(1.0),
-            )
-        else:
-            impulse = jnp.zeros(num_samples, jnp.float32).at[0].set(1.0)
-            y = delay_line_outputs(delays, gamma, a, b, impulse)  # (T, N)
+    # ----- factory-time, batch-independent work (computed exactly ONCE) -----
+    # the delay-line run y = impulse response of the loop is position-
+    # independent; only the output mix depends on the batch
+    a, b, gamma = jax.jit(
+        lambda p: model.apply(
+            p,
+            {"z_values": jnp.exp(1j * jnp.zeros(1)).astype(jnp.complex64)},
+            method=lambda mdl, x: _statics(mdl, x),
+        )
+    )(params)
+    a_np = np.asarray(a)
+    impulse = jnp.zeros(num_samples, jnp.float32).at[0].set(1.0)
+    if model.sos_coeffs is not None:
+        bank = filter_bank_from_sos(np.asarray(model.sos_coeffs), delays)
+        y = delay_line_outputs_filtered(delays, bank, a, b, impulse)
+    elif model.iir_coeffs is not None:
+        bank = filter_bank_from_iir(np.asarray(model.iir_coeffs), delays)
+        y = delay_line_outputs_filtered(delays, bank, a, b, impulse)
+    elif a_np.ndim == 3:  # FILTER coupling with scalar absorption
+        bank = filter_bank_from_gains(np.asarray(gamma), delays)
+        y = delay_line_outputs_filtered(delays, bank, a, b, impulse)
+    else:
+        y = delay_line_outputs(delays, gamma, a, b, impulse)  # (T, N)
+    y = jax.device_put(y)
 
-        if not use_svf:
-            c = jax.jit(
-                lambda p, e: model.apply(
-                    p, decode_batch(e), method=_scalar_gains
-                )
-            )(params, enc)
-            return (y @ c.T).T
+    # jitted per-batch heads, created ONCE so repeat synth() calls hit the
+    # jit cache (a fresh jit(lambda) per call would re-trace every time)
+    if not use_svf:
+        @jax.jit
+        def _mix_scalar(p, e, y_dev):
+            c = model.apply(p, decode_batch(e), method=_scalar_gains)
+            return (y_dev @ c.T).T
 
-        # SVF heads: apply the (short-IIR) output filters with a padded
-        # rFFT product — the loop part above is already alias-free
-        nfft2 = 1 << int(np.ceil(np.log2(num_samples + 4096)))
-        z2 = np.exp(
-            1j * np.linspace(0.0, np.pi, nfft2 // 2 + 1)
-        ).astype(np.complex64)
-        x2 = dict(batch)
-        x2["z_values"] = z2
+        def synth(batch) -> jnp.ndarray:
+            return _mix_scalar(params, encode_batch(batch), y)
 
-        def _group_resp_enc(p, e):
-            r = model.apply(p, decode_batch(e), method=_group_resp)
-            return jnp.stack([jnp.real(r), jnp.imag(r)], axis=-1)
+        return synth
 
-        group_resp = jax.jit(_group_resp_enc)(params, encode_batch(x2))
-        group_resp = group_resp[..., 0] + 1j * group_resp[..., 1]  # (B, G, F2)
-        out_gains = jax.jit(
-            lambda p: model.apply(p, method=lambda m: m.output_gains[:, 0])
-        )(params)  # (N,)
-        yf = jnp.fft.rfft(y, nfft2, axis=0)  # (F2, N)
-        line_group = np.repeat(np.arange(model.num_groups), nper)
+    # SVF heads: apply the (short-IIR) output filters with a padded rFFT
+    # product — the loop part above is already alias-free
+    nfft2 = 1 << int(np.ceil(np.log2(num_samples + 4096)))
+    z2 = np.exp(1j * np.linspace(0.0, np.pi, nfft2 // 2 + 1)).astype(
+        np.complex64
+    )
+    out_gains = np.asarray(
+        jax.jit(lambda p: model.apply(p, method=lambda m: m.output_gains[:, 0]))(
+            params
+        )
+    )
+    yf = jnp.fft.rfft(y, nfft2, axis=0)  # (F2, N)
+    line_group = np.repeat(np.arange(model.num_groups), nper)
+
+    @jax.jit
+    def _mix_svf(p, e, yf_dev):
+        r = model.apply(p, decode_batch(e), method=_group_resp)  # (B, G, F2)
         h = jnp.einsum(
             "n,bnf,fn->bf",
-            out_gains.astype(jnp.complex64),
-            group_resp[:, line_group, :],
-            yf,
+            jnp.asarray(out_gains, jnp.complex64),
+            r[:, line_group, :],
+            yf_dev,
         )
         return jnp.fft.irfft(h, nfft2, axis=-1)[:, :num_samples]
+
+    def synth(batch) -> jnp.ndarray:
+        x2 = dict(batch)
+        x2["z_values"] = z2
+        return _mix_svf(params, encode_batch(x2), yf)
 
     return synth
 

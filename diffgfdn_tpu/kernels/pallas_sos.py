@@ -75,15 +75,23 @@ def _bwd_kernel(
     r = num_ref.shape[0]
     bf = zre.shape[1]
 
-    # recompute h and cache per-section 1/P, 1/Q (re/im) for this block
+    # recompute h and cache per-section 1/P, 1/Q (re/im) for this block.
+    # |P|^2 is clamped away from zero: the factored gradient form
+    # (g h / P_k) is analytically finite at zeros of P_k (it cancels
+    # against the P_k inside h) but numerically 0 * Inf = NaN — e.g. a
+    # zero-padded bin (z = 0) of a section with b0 == 0, or a notch zero
+    # landing exactly on a sampled bin. The clamp keeps those
+    # measure-zero bins finite; padded bins contribute nothing anyway
+    # (their cotangent is zero).
+    tiny = 1e-30
     hre = jnp.ones((r, bf), jnp.float32)
     him = jnp.zeros((r, bf), jnp.float32)
     invs = []
     for i in range(k):
         pre, pim = _poly_eval(num_ref[:, 3 * i : 3 * i + 3], zre, zim)
         qre, qim = _poly_eval(den_ref[:, 3 * i : 3 * i + 3], zre, zim)
-        ip = 1.0 / (pre * pre + pim * pim)
-        iq = 1.0 / (qre * qre + qim * qim)
+        ip = 1.0 / jnp.maximum(pre * pre + pim * pim, tiny)
+        iq = 1.0 / jnp.maximum(qre * qre + qim * qim, tiny)
         invs.append((pre * ip, -pim * ip, qre * iq, -qim * iq))
         sre = (pre * qre + pim * qim) * iq
         sim = (pim * qre - pre * qim) * iq

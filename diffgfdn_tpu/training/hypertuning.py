@@ -138,6 +138,10 @@ def mlp_hyperparameter_tuning(
     sampler = sampler or tcfg.sampler
     rng = np.random.RandomState(seed)
 
+    if sampler not in ("tpe", "random", "optuna"):
+        raise ValueError(
+            f"unknown sampler {sampler!r}: expected 'tpe', 'random' or 'optuna'"
+        )
     if sampler == "optuna":
         try:
             results = _optuna_search(config, train_fn, tcfg, num_trials, seed)

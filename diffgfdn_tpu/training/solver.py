@@ -314,8 +314,13 @@ def run_training_single_pos(
 def run_training_anisotropic_decay_var_receiver_pos(
     config: DiffGFDNConfig,
     room_data,  # SpatialRoomDataset
+    resume: bool = False,
 ) -> Tuple[DirectionalGFDNTrainer, Dict]:
-    """Directional FDN over a receiver grid (solver.py:558-657)."""
+    """Directional FDN over a receiver grid (solver.py:558-657).
+
+    ``resume=True`` continues from the newest checkpoint (params +
+    optimizer state) in the training directory.
+    """
     from ..data.spatial_dataset import arrays_from_spatial_dataset
 
     check_sample_rate(config, room_data)
@@ -374,7 +379,7 @@ def run_training_anisotropic_decay_var_receiver_pos(
     example = next(iter(train_batches(0)))
     params = init_with_batch(model, jax.random.PRNGKey(config.seed), example)
     params = trainer.fit_indexed(
-        params, arrays, train_idx, valid_idx, seed=config.seed
+        params, arrays, train_idx, valid_idx, seed=config.seed, resume=resume
     )
     save_diff_gfdn_parameters(model, params, tc.train_dir)
     save_loss(trainer.train_loss, trainer.valid_loss, tc.train_dir)

@@ -325,6 +325,10 @@ def test_estimate_edc_parameters_contract():
     assert t60s.shape == (2, 2) and norm_vals.shape == (2,)
     assert fitted.shape[0] == 2
     filt = octave_filtering(rir, fs, [500.0, 1000.0])
+    # norm_vals = per-band EDC peak = total band energy (time axis!)
+    np.testing.assert_allclose(
+        norm_vals, np.sum(filt ** 2, axis=0), rtol=1e-6
+    )
     for b in range(2):
         true_edc = schroeder_edc(filt[:, b])
         n = int(len(true_edc) * 0.9)
@@ -333,3 +337,25 @@ def test_estimate_edc_parameters_contract():
             - 10 * np.log10(true_edc[:n] + 1e-20)
         )
         assert np.median(err) < 1.0, np.median(err)
+
+
+def test_estimate_decay_params_recovers_noise_floor():
+    """The Schroeder noise column stays linear-in-time on the log-sampled
+    fit grid: a known additive noise floor is recovered within 3 dB."""
+    from diffgfdn_tpu.analysis import estimate_decay_params, octave_filtering
+
+    fs = 8000.0
+    noise_std = 3e-3
+    rng = np.random.RandomState(7)
+    rir = _multi_slope_rir((0.12,), (1.0,), fs=fs, dur=1.5, seed=7)
+    rir = rir + noise_std * rng.randn(len(rir))
+    t60s, amps, noise = estimate_decay_params(rir, 1, fs, f_bands=[1000.0])
+    # per-sample noise power within the 1 kHz octave band
+    band_noise = octave_filtering(
+        noise_std * rng.randn(len(rir)), fs, [1000.0]
+    )[:, 0]
+    true_level = float(np.mean(band_noise ** 2))
+    assert noise[0] > 0.0
+    ratio_db = 10 * np.log10(noise[0] / true_level)
+    assert abs(ratio_db) < 3.0, ratio_db
+    assert abs(t60s[0, 0] - 0.12) / 0.12 < 0.25, t60s

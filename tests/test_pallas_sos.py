@@ -66,3 +66,19 @@ def test_pallas_sos_gradients_match_xla():
         a, b = np.asarray(a), np.asarray(b)
         scale = np.abs(b).max() + 1e-9
         assert np.max(np.abs(a - b)) < 1e-3 * scale, np.max(np.abs(a - b)) / scale
+
+
+def test_gradients_finite_with_zero_b0_section():
+    """A section whose numerator response vanishes at a (padded) bin used
+    to produce 0 * Inf = NaN in the factored backward — clamped now."""
+    num, den = _random_cascades(3, 4, seed=5)
+    num[:, 1, 0] = 0.0  # b0 == 0: P(z=0) = 0 on zero-padded bins
+    z = np.exp(1j * np.linspace(0, np.pi, 700)).astype(np.complex64)
+
+    def loss(n, d):
+        h = sos_cascade_response_pallas(n, d, jnp.asarray(z))
+        return jnp.sum(jnp.abs(h) ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1))(jnp.asarray(num), jnp.asarray(den))
+    for arr in g:
+        assert np.isfinite(np.asarray(arr)).all()

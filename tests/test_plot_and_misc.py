@@ -132,6 +132,11 @@ def test_flops_cost_models():
     assert dir_gfdn_flops(2, 3, 8, 12) < conv_flops(9, 4000.0, 512)
     assert conv_flops(9, 4000.0, 512) > conv_flops(9, 1000.0, 512)
 
+    from diffgfdn_tpu.utils.flops import gfdn_mems, mlp_mems
+
+    assert mlp_mems(3, 128, 3) == 3 * (128 ** 2 + 128) + 3 * (128 + 1)
+    assert gfdn_mems(32000.0, 12, 40.0, 3) == 1280 * 12 + 16 + 24 + 9
+
 
 # ------------------------ plot-parity suite (round 2) ------------------------
 
@@ -295,30 +300,3 @@ def test_save_feedback_matrix_animation(tmp_path):
         save_checkpoint(tmp_path, e, params)
     out = save_feedback_matrix_animation(model, tmp_path, 2)
     assert out is not None and (tmp_path / "feedback_matrix.gif").exists()
-
-
-def test_flops_cost_models():
-    """Analytical cost models match the reference notebook's anchors
-    (BASELINE.md: gfdn/mlp/dir_gfdn/conv closed forms)."""
-    import numpy as np
-
-    from diffgfdn_tpu.utils.flops import (
-        conv_flops,
-        dir_gfdn_flops,
-        gfdn_flops,
-        gfdn_mems,
-        mlp_flops,
-        mlp_mems,
-    )
-
-    # hand-evaluated closed forms
-    assert gfdn_flops(12, 8) == 2 * 144 + 12 + 27 * 12 * 8 + 1
-    assert gfdn_flops(12, 8, is_parallel=True) == 8 * (2 * 144 + 4 * 12 + 1)
-    assert mlp_flops(3, 128, 3) == 3 * (2 * 128 ** 2 + 128) + 3 * (2 * 128 + 1)
-    assert mlp_mems(3, 128, 3) == 3 * (128 ** 2 + 128) + 3 * (128 + 1)
-    assert gfdn_mems(32000.0, 12, 40.0, 3) == 1280 * 12 + 16 + 24 + 9
-    # directional GFDN beats partitioned convolution of a 2-s 9-channel RIR
-    # (the reference's headline comparison)
-    d = dir_gfdn_flops(2, 3, 8, 12)
-    c = conv_flops(9, 2000.0, 48000.0, 512)
-    assert np.isfinite(d) and np.isfinite(c) and d > 0 and c > 0
