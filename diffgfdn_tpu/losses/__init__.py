@@ -1,6 +1,7 @@
 from .colorless import amse_loss, mse_loss, sparsity_loss
 from .gfdn import (
     directional_edc_loss,
+    directional_edc_loss_from_sh,
     edc_loss,
     edr_loss,
     frequency_weighting,
@@ -19,6 +20,7 @@ from .spatial import (
 __all__ = [
     "amse_loss",
     "directional_edc_loss",
+    "directional_edc_loss_from_sh",
     "edc_loss",
     "edr_loss",
     "find_position_idx",

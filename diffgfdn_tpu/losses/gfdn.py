@@ -95,6 +95,30 @@ def edc_loss(
     return jnp.mean(err)
 
 
+def _directional_edc_from_rir(
+    pred_rir: jnp.ndarray,
+    amps_true: jnp.ndarray,
+    envelopes: jnp.ndarray,
+    mask_key: Optional[jax.Array],
+) -> jnp.ndarray:
+    """Shared EDC comparison: (B, J, T) directional RIRs vs CS envelopes."""
+    edc_pred = schroeder_backward_int(pred_rir)
+    t = edc_pred.shape[-1]
+    edc_true = jnp.einsum(
+        "bjk,kt->bjt", amps_true.astype(jnp.float32), envelopes[:, :t]
+    )
+    err = jnp.abs(
+        db(edc_true, is_squared=True) - db(edc_pred, is_squared=True)
+    )
+    if mask_key is not None:
+        probs = jax.random.uniform(jax.random.fold_in(mask_key, 0), (t,))
+        mask = jax.random.bernoulli(jax.random.fold_in(mask_key, 1), probs)
+        return jnp.sum(err * mask) / (
+            jnp.sum(mask) * np.prod(err.shape[:-1]) + 1e-9
+        )
+    return jnp.mean(err)
+
+
 def directional_edc_loss(
     h_pred: jnp.ndarray,
     amps_true: jnp.ndarray,
@@ -113,21 +137,36 @@ def directional_edc_loss(
     pred_rir = jnp.fft.irfft(h_pred, n, axis=-1)[
         ..., mixing_time_samps : edc_len_samps + mixing_time_samps
     ]
-    edc_pred = schroeder_backward_int(pred_rir)
-    t = edc_pred.shape[-1]
-    edc_true = jnp.einsum(
-        "bjk,kt->bjt", amps_true.astype(jnp.float32), envelopes[:, :t]
+    return _directional_edc_from_rir(pred_rir, amps_true, envelopes, mask_key)
+
+
+def directional_edc_loss_from_sh(
+    h_sh: jnp.ndarray,
+    analysis_matrix: jnp.ndarray,
+    amps_true: jnp.ndarray,
+    envelopes: jnp.ndarray,
+    mixing_time_samps: int,
+    edc_len_samps: int,
+    mask_key: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Same loss, fed the SH-domain response (B, L, F) directly.
+
+    The beamforming matrix is linear, so it commutes with the irfft:
+    irfft the L = (n+1)^2 SH channels (fewer than the J >= L directions)
+    and apply the analysis matrix as a REAL time-domain matmul — identical
+    result, ~J/L fewer FFTs and no (B, J, F) complex intermediate.
+    """
+    n = 2 * (h_sh.shape[-1] - 1)
+    rir_sh = jnp.fft.irfft(h_sh, n, axis=-1)[
+        ..., mixing_time_samps : edc_len_samps + mixing_time_samps
+    ]
+    pred_rir = jnp.einsum(
+        "jl,blt->bjt",
+        jnp.asarray(analysis_matrix, jnp.float32),
+        rir_sh,
+        precision=jax.lax.Precision.HIGHEST,
     )
-    err = jnp.abs(
-        db(edc_true, is_squared=True) - db(edc_pred, is_squared=True)
-    )
-    if mask_key is not None:
-        probs = jax.random.uniform(jax.random.fold_in(mask_key, 0), (t,))
-        mask = jax.random.bernoulli(jax.random.fold_in(mask_key, 1), probs)
-        return jnp.sum(err * mask) / (
-            jnp.sum(mask) * np.prod(err.shape[:-1]) + 1e-9
-        )
-    return jnp.mean(err)
+    return _directional_edc_from_rir(pred_rir, amps_true, envelopes, mask_key)
 
 
 def edr_loss(

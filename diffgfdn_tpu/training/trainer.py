@@ -24,7 +24,7 @@ import optax
 from ..config.schema import TrainerConfig
 from ..losses import (
     amse_loss,
-    directional_edc_loss,
+    directional_edc_loss_from_sh,
     edc_loss,
     edr_loss,
     frequency_weighting,
@@ -155,19 +155,19 @@ class GFDNTrainer:
         all_losses: Dict[str, jnp.ndarray] = {}
 
         if self.use_directional:
-            # real analysis matrix; promotion to complex happens in-program
-            h_dir = jnp.einsum(
-                "jl,blk->bjk",
-                np.asarray(self.model.analysis_matrix, np.float32),
-                h,
-            )
-            all_losses["edc_loss"] = self.cfg.edc_loss_weight * directional_edc_loss(
-                h_dir,
-                batch["target_common_slope_amps"],
-                self.directional_envelopes,
-                self.mixing_time_samps,
-                self.max_ir_len_samps,
-                mask_key=mask_key,
+            # irfft the L SH channels and beamform with a REAL time-domain
+            # matmul (the analysis matrix commutes with the irfft) — J/L
+            # fewer FFTs and no (B, J, F) complex intermediate
+            all_losses["edc_loss"] = (
+                self.cfg.edc_loss_weight * directional_edc_loss_from_sh(
+                    h,
+                    np.asarray(self.model.analysis_matrix, np.float32),
+                    batch["target_common_slope_amps"],
+                    self.directional_envelopes,
+                    self.mixing_time_samps,
+                    self.max_ir_len_samps,
+                    mask_key=mask_key,
+                )
             )
         elif "target_edc_db" in batch:
             # fast path: precomputed target features + ONE shared irfft of

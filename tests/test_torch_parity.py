@@ -141,3 +141,34 @@ def test_schroeder_parity():
         dims=[-1],
     ).numpy()
     assert np.allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_directional_edc_loss_sh_path_matches_directional_path():
+    """irfft-then-beamform == beamform-then-irfft (linear ops commute)."""
+    import jax.numpy as jnp
+
+    from diffgfdn_tpu.losses import (
+        directional_edc_loss,
+        directional_edc_loss_from_sh,
+    )
+
+    rng = np.random.RandomState(0)
+    b, l, j, f = 3, 9, 12, 257
+    h_sh = (rng.randn(b, l, f) + 1j * rng.randn(b, l, f)).astype(np.complex64)
+    analysis = rng.randn(j, l).astype(np.float32) / np.sqrt(l)
+    amps = (0.1 + rng.rand(b, j, 2)).astype(np.float32)
+    t_env = 400
+    t_ax = np.arange(t_env) / 8000.0
+    env = np.stack([
+        np.exp(-t_ax * np.log(1e6) / 0.1), np.exp(-t_ax * np.log(1e6) / 0.3)
+    ]).astype(np.float32)
+
+    h_dir = np.einsum("jl,blk->bjk", analysis, h_sh)
+    a = float(directional_edc_loss(
+        jnp.asarray(h_dir), jnp.asarray(amps), jnp.asarray(env), 32, 380
+    ))
+    b_ = float(directional_edc_loss_from_sh(
+        jnp.asarray(h_sh), analysis, jnp.asarray(amps), jnp.asarray(env),
+        32, 380,
+    ))
+    assert abs(a - b_) < 1e-4 * max(1.0, abs(a)), (a, b_)
