@@ -178,3 +178,59 @@ def test_sample_rate_mismatch_raises(dataset, tmp_path):
         training_band_parallel([cfg])
     with pytest.raises(ValueError, match="sample"):
         run_training_var_receiver_pos(cfg)
+
+
+def test_update_masking_freezes_stopped_bands(dataset, tmp_path):
+    """The early-stop mechanism: a band with active=0 keeps its parameters
+    EXACTLY while the other band updates (one compiled shape)."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffgfdn_tpu.cli.run_subband_training import create_config
+    from diffgfdn_tpu.data.batching import (
+        arrays_from_room_dataset,
+        iterate_batches,
+    )
+    from diffgfdn_tpu.data.room_dataset import ThreeRoomDataset
+    from diffgfdn_tpu.ops.filterbanks import subband_filter_response
+    from diffgfdn_tpu.parallel import BandParallelTrainer
+    from diffgfdn_tpu.training.build import build_gfdn_model
+
+    cfg = create_config(
+        500.0, dataset, str(tmp_path / "fz"), num_freq_bins=512,
+        sample_rate=8000.0, max_epochs=1, batch_size=8,
+        use_colorless_loss=False,
+    )
+    room = ThreeRoomDataset(dataset, nfft=512)
+    arrays = arrays_from_room_dataset(room)
+    model = build_gfdn_model(
+        cfg, common_decay_times=room.common_decay_times,
+        band_centre_hz=room.band_centre_hz,
+    )
+    resps = np.stack([
+        subband_filter_response(f, (63.0, 4000.0), 1, 8000.0, 512)
+        for f in (500.0, 1000.0)
+    ])
+    trainer = BandParallelTrainer(
+        model, cfg.trainer_config, resps, steps_per_epoch=1,
+        max_ir_len_ms=60.0,
+    )
+    example = next(iter(iterate_batches(arrays, np.arange(8), 8, shuffle=False)))
+    params, opt_state = trainer.init(example, seeds=[1, 2])
+    p0 = jax.tree_util.tree_map(np.asarray, params)
+
+    active = jnp.asarray([1.0, 0.0])
+    params, _, _, _ = trainer.step(
+        params, opt_state, example, jax.random.PRNGKey(0), active=active
+    )
+    p1 = jax.tree_util.tree_map(np.asarray, params)
+
+    leaves0 = jax.tree_util.tree_leaves(p0)
+    leaves1 = jax.tree_util.tree_leaves(p1)
+    changed_b0 = any(
+        not np.allclose(a[0], b[0]) for a, b in zip(leaves0, leaves1)
+    )
+    frozen_b1 = all(
+        np.array_equal(a[1], b[1]) for a, b in zip(leaves0, leaves1)
+    )
+    assert changed_b0 and frozen_b1
