@@ -200,6 +200,7 @@ def estimate_decay_params(
     t60_grid: Optional[np.ndarray] = None,
     max_slopes: int = 3,
     order_tol_db: float = 0.25,
+    filtered: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Estimate (T60s, amplitudes, noise levels) per octave band of one RIR.
 
@@ -218,7 +219,8 @@ def estimate_decay_params(
         f_bands = octave_bands(end_freq=min(16000.0, fs / 2))
     if t60_grid is None:
         t60_grid = np.geomspace(0.05, 3.0, 14)
-    filtered = octave_filtering(rir, fs, f_bands)
+    if filtered is None:
+        filtered = octave_filtering(rir, fs, f_bands)
     n_bands = filtered.shape[-1]
 
     auto = n_slopes == 0
@@ -284,7 +286,8 @@ def estimate_edc_parameters(
     norm_vals = schroeder_edc(filtered, axis=0)[0]  # (n_bands,)
 
     t60s, amps, noise = estimate_decay_params(
-        rir, n_slopes, fs, f_bands=list(filter_frequencies)
+        rir, n_slopes, fs, f_bands=list(filter_frequencies),
+        filtered=filtered,  # reuse the bank run above (it is the slow part)
     )
     # normalize amplitudes/noise by the EDC peak per band
     amps_n = amps / norm_vals[:, None]

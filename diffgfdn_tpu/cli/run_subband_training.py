@@ -118,10 +118,10 @@ def training_band_parallel(configs, room_data=None):
         train_valid_split,
     )
     from ..data.room_dataset import ThreeRoomDataset
-    from ..ops.filterbanks import subband_filter_response
     from ..parallel import BandParallelTrainer
     from ..training.build import build_gfdn_model
     from ..training.checkpoints import save_checkpoint
+    from ..training.solver import _subband_resp
 
     if room_data is None:
         room_data = ThreeRoomDataset(
@@ -147,18 +147,7 @@ def training_band_parallel(configs, room_data=None):
             band_centre_hz=room_data.band_centre_hz,
             variant="var_receiver",
         )
-        band_resps = np.stack(
-            [
-                subband_filter_response(
-                    c.trainer_config.subband_process_config.centre_frequency,
-                    c.trainer_config.subband_process_config.frequency_range,
-                    c.trainer_config.subband_process_config.num_fraction_octaves,
-                    c.sample_rate,
-                    c.trainer_config.num_freq_bins,
-                )
-                for c in group
-            ]
-        )
+        band_resps = np.stack([_subband_resp(c) for c in group])
         # one train/valid split shared by the group (delta vs the
         # reference's per-band splits: one program = one index stream)
         indices = np.arange(arrays.num_items)

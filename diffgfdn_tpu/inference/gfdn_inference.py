@@ -103,7 +103,7 @@ def make_time_domain_synthesis_fn(model, params, num_samples: int):
         lambda p: model.apply(
             p,
             {"z_values": jnp.exp(1j * jnp.zeros(1)).astype(jnp.complex64)},
-            method=lambda mdl, x: _statics(mdl, x),
+            method=_statics,
         )
     )(params)
     a_np = np.asarray(a)

@@ -127,11 +127,11 @@ def _bwd_kernel(
     dden_ref[...] = dden_ref[...] + jnp.stack(dd_cols, axis=1)
 
 
-def _pad_cols(x, f_pad, value=0.0):
+def _pad_cols(x, f_pad):
     f = x.shape[-1]
     if f == f_pad:
         return x
-    return jnp.pad(x, ((0, 0), (0, f_pad - f)), constant_values=value)
+    return jnp.pad(x, ((0, 0), (0, f_pad - f)))
 
 
 def _cascade_fwd_impl(num, den, z_enc, interpret: bool):
