@@ -75,24 +75,18 @@ def _bwd_kernel(
     r = num_ref.shape[0]
     bf = zre.shape[1]
 
-    # recompute h and cache per-section 1/P, 1/Q (re/im) for this block.
-    # |P|^2 is clamped away from zero: the factored gradient form
-    # (g h / P_k) is analytically finite at zeros of P_k (it cancels
-    # against the P_k inside h) but numerically 0 * Inf = NaN — e.g. a
-    # zero-padded bin (z = 0) of a section with b0 == 0, or a notch zero
-    # landing exactly on a sampled bin. The clamp keeps those
-    # measure-zero bins finite; padded bins contribute nothing anyway
-    # (their cotangent is zero).
+    # PASS 1: recompute h for this block. Pass 2 re-evaluates the cheap
+    # section polynomials instead of caching K x 4 inverse planes; note
+    # Mosaic's stack liveness for unrolled loops still caps F_BLOCK at 512
+    # for this kernel (1024 exceeds the 16M scoped-vmem limit either way,
+    # and 512 measures equal end-to-end).
     tiny = 1e-30
     hre = jnp.ones((r, bf), jnp.float32)
     him = jnp.zeros((r, bf), jnp.float32)
-    invs = []
     for i in range(k):
         pre, pim = _poly_eval(num_ref[:, 3 * i : 3 * i + 3], zre, zim)
         qre, qim = _poly_eval(den_ref[:, 3 * i : 3 * i + 3], zre, zim)
-        ip = 1.0 / jnp.maximum(pre * pre + pim * pim, tiny)
         iq = 1.0 / jnp.maximum(qre * qre + qim * qim, tiny)
-        invs.append((pre * ip, -pim * ip, qre * iq, -qim * iq))
         sre = (pre * qre + pim * qim) * iq
         sim = (pim * qre - pre * qim) * iq
         hre, him = hre * sre - him * sim, hre * sim + him * sre
@@ -109,15 +103,24 @@ def _bwd_kernel(
     z2im = 2.0 * zre * zim
     pows = ((jnp.ones_like(zre), jnp.zeros_like(zre)), (zre, zim), (z2re, z2im))
 
+    # PASS 2: per-section coefficient gradients. |P|^2 / |Q|^2 are clamped
+    # away from zero: the factored form (g h / P_k) is analytically finite
+    # at zeros of P_k (they cancel inside h) but numerically 0 * Inf = NaN
+    # — e.g. a zero-padded bin (z = 0) of a section with b0 == 0, or a
+    # notch zero landing exactly on a sampled bin. Padded bins contribute
+    # nothing anyway (their cotangent is zero).
     dn_cols = []
     dd_cols = []
     for i in range(k):
-        ipre, ipim, iqre, iqim = invs[i]
-        # t = s / P ;  u = s / Q   (complex mults with the cached inverses)
-        tre = sre * ipre - sim * ipim
-        tim = sre * ipim + sim * ipre
-        ure = sre * iqre - sim * iqim
-        uim = sre * iqim + sim * iqre
+        pre, pim = _poly_eval(num_ref[:, 3 * i : 3 * i + 3], zre, zim)
+        qre, qim = _poly_eval(den_ref[:, 3 * i : 3 * i + 3], zre, zim)
+        ip = 1.0 / jnp.maximum(pre * pre + pim * pim, tiny)
+        iq = 1.0 / jnp.maximum(qre * qre + qim * qim, tiny)
+        # t = s / P ;  u = s / Q
+        tre = (sre * pre + sim * pim) * ip
+        tim = (sim * pre - sre * pim) * ip
+        ure = (sre * qre + sim * qim) * iq
+        uim = (sim * qre - sre * qim) * iq
         for wre, wim in pows:
             dn_cols.append(jnp.sum(tre * wre - tim * wim, axis=1))  # Re[t z^j]
             dd_cols.append(-jnp.sum(ure * wre - uim * wim, axis=1))
