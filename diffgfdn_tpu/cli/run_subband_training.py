@@ -169,6 +169,9 @@ def training_band_parallel(configs, room_data=None):
         params, opt_state = trainer.init(
             example, seeds=[c.seed for c in group]
         )
+        # per-band target features once per dataset (the slow path would
+        # re-derive the band-filtered target EDC/EDR every step)
+        trainer.precompute_band_target_features(arrays)
 
         def on_epoch(epoch, ep_params, train_losses, valid_losses, trained):
             for b, cfg in enumerate(group):

@@ -58,21 +58,52 @@ def make_band_loss_fn(
             h, h_sub = out, None
         resp = (band_resp[..., 0] + 1j * band_resp[..., 1]).astype(jnp.complex64)
         h = h * resp
-        target = batch["target_rir_response"] * resp
-        l_edr = cfg.edr_loss_weight * edr_loss(
-            target,
-            h,
-            win_size=edr_win,
-            hop_size=edr_hop,
-            reduced_pole_radius=cfg.reduced_pole_radius,
-        )
-        l_edc = cfg.edc_loss_weight * edc_loss(
-            target,
-            h,
-            mixing,
-            max_len,
-            mask_key=key if cfg.use_edc_mask else None,
-        )
+        mask_key = key if cfg.use_edc_mask else None
+        if "target_edc_db" in batch:
+            # fast path: per-band target features precomputed once per
+            # dataset (precompute_band_target_features) + ONE shared irfft
+            # of the achieved band response feeding both losses
+            from ..losses.gfdn import edc_loss_from_rir, edr_loss_from_rir
+
+            n = 2 * (h.shape[-1] - 1)
+            rir = jnp.fft.irfft(h, n, axis=-1)
+            # materialization barrier AFTER the fft: the precomputed-
+            # feature comparisons otherwise push a transposed operand
+            # layout back into the fft op, which XLA:CPU's fft thunk
+            # rejects (dim0-major RET_CHECK) on the virtual test mesh
+            rir = jax.lax.optimization_barrier(rir)
+            end = min(max_len, h.shape[-1])
+            l_edc = cfg.edc_loss_weight * edc_loss_from_rir(
+                batch["target_edc_db"], rir[..., mixing:end], mask_key=mask_key
+            )
+            rir_env = rir
+            if cfg.reduced_pole_radius != 1.0:
+                rir_env = rir * jnp.power(
+                    1.0 / cfg.reduced_pole_radius, jnp.arange(n)
+                )
+            l_edr = cfg.edr_loss_weight * edr_loss_from_rir(
+                batch["target_edr_db"],
+                batch["target_edr_abs_sum"],
+                rir_env,
+                win_size=edr_win,
+                hop_size=edr_hop,
+            )
+        else:
+            target = batch["target_rir_response"] * resp
+            l_edr = cfg.edr_loss_weight * edr_loss(
+                target,
+                h,
+                win_size=edr_win,
+                hop_size=edr_hop,
+                reduced_pole_radius=cfg.reduced_pole_radius,
+            )
+            l_edc = cfg.edc_loss_weight * edc_loss(
+                target,
+                h,
+                mixing,
+                max_len,
+                mask_key=mask_key,
+            )
         total = l_edr + l_edc
         aux = {"edr_loss": l_edr, "edc_loss": l_edc}
         if h_sub is not None:
@@ -127,6 +158,9 @@ class BandParallelTrainer:
 
         time_len = cfg.num_freq_bins if cfg.num_freq_bins else 2 ** 17
         edr_win = min(2 ** 12, 2 ** int(np.log2(max(time_len // 4, 8))))
+        self._edr_win, self._edr_hop = edr_win, edr_win // 2
+        self._mixing = ms_to_samps(20.0, model.sample_rate)
+        self._max_len = ms_to_samps(max_ir_len_ms, model.sample_rate)
         loss_fn = make_band_loss_fn(
             model, cfg, model.sample_rate, max_ir_len_ms, edr_win, edr_win // 2
         )
@@ -135,6 +169,7 @@ class BandParallelTrainer:
         )
         self.optimizer: Optional[optax.GradientTransformation] = None
         self._loss_fn = loss_fn
+        self._band_feats: Optional[Dict] = None
         # per-band loss histories (filled by fit_indexed)
         self.train_loss: List[np.ndarray] = []
         self.valid_loss: List[np.ndarray] = []
@@ -181,8 +216,8 @@ class BandParallelTrainer:
         loss_fn = self._loss_fn
         optimizer = self.optimizer
 
-        def band_step(params, opt_state, enc_batch, band_resp, key, active):
-            batch = decode_batch(enc_batch)
+        def band_step(params, opt_state, enc_batch, feats, band_resp, key, active):
+            batch = {**decode_batch(enc_batch), **feats}
             (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, batch, band_resp, key
             )
@@ -194,16 +229,18 @@ class BandParallelTrainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, total, aux
 
-        def band_valid(params, enc_batch, band_resp, key):
-            batch = decode_batch(enc_batch)
+        def band_valid(params, enc_batch, feats, band_resp, key):
+            batch = {**decode_batch(enc_batch), **feats}
             return loss_fn(params, batch, band_resp, key)
 
+        # feats (per-band precomputed target features) carry a leading band
+        # axis; an empty dict has no leaves, so the slow path vmaps cleanly
         stepped = jax.vmap(
             band_step,
-            in_axes=(0, 0, None, 0, None, 0),
+            in_axes=(0, 0, None, 0, 0, None, 0),
             out_axes=(0, 0, 0, 0),
         )
-        vstepped = jax.vmap(band_valid, in_axes=(0, None, 0, None))
+        vstepped = jax.vmap(band_valid, in_axes=(0, None, 0, 0, None))
 
         self._stepped = stepped
         self._vstepped = vstepped
@@ -236,6 +273,7 @@ class BandParallelTrainer:
                     )
                     for k in enc
                 },
+                {},  # feats: empty on the host-batch path
                 bsh,
                 repl,
                 bsh,
@@ -244,7 +282,7 @@ class BandParallelTrainer:
                 self._stepped, in_shardings=in_shardings
             )
         return self._jitted[shapes](
-            params, opt_state, enc, self._band_resps_dev, key, active
+            params, opt_state, enc, {}, self._band_resps_dev, key, active
         )
 
     # ----------------------- device-resident data path -----------------------
@@ -275,22 +313,123 @@ class BandParallelTrainer:
                 enc[k] = jax.lax.with_sharding_constraint(v[idx], dsh)
         return enc
 
+    def precompute_band_target_features(
+        self, arrays, chunk: int = 16, force: bool = False
+    ) -> None:
+        """Per-band target EDC/EDR features, computed ONCE per dataset.
+
+        The band-filtered target spectra are parameter-independent; the
+        slow path recomputed their irfft + Schroeder + STFT every step.
+        Features are stored device-resident with a leading band axis and
+        gathered per batch inside the jitted step. Mirrors
+        GFDNTrainer.precompute_target_features.
+
+        No-op on multi-device CPU meshes (the virtual test mesh): XLA:CPU's
+        fft thunk rejects the operand layouts GSPMD assigns around the
+        feature comparisons (dim0-major RET_CHECK); single-device CPU and
+        TPU meshes take the fast path. ``force=True`` overrides the guard.
+        """
+        n_dev = int(np.prod(self.mesh.devices.shape))
+        platforms = {d.platform for d in self.mesh.devices.flat}
+        if not force and n_dev > 1 and platforms != {"tpu"}:
+            import logging
+
+            logging.getLogger("diffgfdn_tpu").info(
+                "skipping band target-feature precompute on a multi-device "
+                "%s mesh (XLA:CPU partitioned-fft layout limitation)",
+                "/".join(sorted(platforms)),
+            )
+            return
+        from ..ops.basic import db as db_fn
+        from ..ops.basic import schroeder_backward_int
+        from ..ops.stft import edr_from_stft, stft as stft_fn
+
+        mix = self._mixing
+
+        @jax.jit
+        def features(tgt_enc, band_resp):
+            tgt = (tgt_enc[..., 0] + 1j * tgt_enc[..., 1]).astype(jnp.complex64)
+            resp = (band_resp[..., 0] + 1j * band_resp[..., 1]).astype(
+                jnp.complex64
+            )
+            tgt = tgt * resp
+            n = 2 * (tgt.shape[-1] - 1)
+            end = min(self._max_len, tgt.shape[-1])
+            rir = jnp.fft.irfft(tgt, n, axis=-1)
+            edc_db = db_fn(
+                schroeder_backward_int(rir[..., mix:end]), is_squared=True
+            )
+            s = stft_fn(rir, self._edr_win, self._edr_hop)
+            edr_db = edr_from_stft(s)
+            abs_sum = jnp.sum(jnp.abs(edr_db), axis=(-2, -1))
+            return edc_db, edr_db, abs_sum
+
+        tgt = arrays.target_rir_response
+        bands = []
+        for b in range(self.num_bands):
+            edcs, edrs, sums = [], [], []
+            for k in range(0, tgt.shape[0], chunk):
+                part = tgt[k : k + chunk]
+                enc = np.stack([part.real, part.imag], -1).astype(np.float32)
+                e, r, su = features(enc, self.band_responses[b])
+                edcs.append(e)
+                edrs.append(r)
+                sums.append(su)
+            bands.append(
+                (
+                    jnp.concatenate(edcs, axis=0),
+                    jnp.concatenate(edrs, axis=0),
+                    jnp.concatenate(sums, axis=0),
+                )
+            )
+        # replicated storage: band-sharded feats pushed a transposed
+        # operand layout into the step's fft ops, which XLA:CPU's fft
+        # thunk rejects (dim0-major RET_CHECK) on the virtual test mesh
+        repl = replicated(self.mesh)
+        self._band_feats = {
+            key: jax.device_put(jnp.stack([bb[i] for bb in bands]), repl)
+            for i, key in enumerate(
+                ("target_edc_db", "target_edr_db", "target_edr_abs_sum")
+            )
+        }
+
+    def _gather_feats(self, band_feats: Dict, idx) -> Dict:
+        # keep the gathered features (band, batch, ...)-sharded: replicated
+        # features pull the achieved response replicated via an all-gather
+        # whose output layout XLA:CPU's fft thunk rejects (dim0-major
+        # RET_CHECK); sharded like the rest of the batch, the loss stays
+        # partitioned exactly as the slow path does
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        fsh = NamedSharding(self.mesh, P("band", "batch"))
+        return {
+            k: jax.lax.with_sharding_constraint(v[:, idx], fsh)
+            for k, v in band_feats.items()
+        }
+
     def _make_indexed_step(self) -> Callable:
         stepped = self._stepped
         gather = self._gather
+        gather_feats = self._gather_feats
 
-        def indexed_step(params, opt_state, data, band_resps, idx, key, active):
+        def indexed_step(params, opt_state, data, band_feats, band_resps,
+                         idx, key, active):
             enc = gather(data, idx)
-            return stepped(params, opt_state, enc, band_resps, key, active)
+            feats = gather_feats(band_feats, idx)
+            return stepped(
+                params, opt_state, enc, feats, band_resps, key, active
+            )
 
         return indexed_step
 
     def _make_indexed_valid(self) -> Callable:
         vstepped = self._vstepped
         gather = self._gather
+        gather_feats = self._gather_feats
 
-        def indexed_valid(params, data, band_resps, idx, key):
-            return vstepped(params, gather(data, idx), band_resps, key)
+        def indexed_valid(params, data, band_feats, band_resps, idx, key):
+            feats = gather_feats(band_feats, idx)
+            return vstepped(params, gather(data, idx), feats, band_resps, key)
 
         return indexed_valid
 
@@ -318,6 +457,7 @@ class BandParallelTrainer:
         from ..training.trainer import padded_batches
 
         data = self.upload_arrays(arrays)
+        band_feats = self._band_feats if self._band_feats is not None else {}
         if train_idx is None:
             train_idx = np.arange(arrays.num_items)
         bs = min(self.cfg.batch_size, max(1, len(train_idx)))
@@ -348,7 +488,7 @@ class BandParallelTrainer:
             for bidx in padded_batches(perm, bs):
                 key, sub = jax.random.split(key)
                 params, opt_state, total, _ = step(
-                    params, opt_state, data, self._band_resps_dev,
+                    params, opt_state, data, band_feats, self._band_resps_dev,
                     jnp.asarray(bidx, jnp.int32), sub, active_dev,
                 )
                 totals = total if totals is None else totals + total
@@ -361,7 +501,7 @@ class BandParallelTrainer:
                 for vidx in padded_batches(np.asarray(valid_idx), vbs):
                     key, sub = jax.random.split(key)
                     vt, _ = vstep(
-                        params, data, self._band_resps_dev,
+                        params, data, band_feats, self._band_resps_dev,
                         jnp.asarray(vidx, jnp.int32), sub,
                     )
                     ev = vt if ev is None else ev + vt

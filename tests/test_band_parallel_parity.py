@@ -234,3 +234,102 @@ def test_update_masking_freezes_stopped_bands(dataset, tmp_path):
         np.array_equal(a[1], b[1]) for a, b in zip(leaves0, leaves1)
     )
     assert changed_b0 and frozen_b1
+
+
+def test_precomputed_band_features_match_slow_path(dataset, tmp_path):
+    """The per-band precomputed-target fast path produces the same loss as
+    the recompute-every-step slow path."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffgfdn_tpu.cli.run_subband_training import create_config
+    from diffgfdn_tpu.data.batching import (
+        arrays_from_room_dataset,
+        iterate_batches,
+    )
+    from diffgfdn_tpu.data.room_dataset import ThreeRoomDataset
+    from diffgfdn_tpu.ops.filterbanks import subband_filter_response
+    from diffgfdn_tpu.parallel import BandParallelTrainer
+    from diffgfdn_tpu.training.build import build_gfdn_model
+    from diffgfdn_tpu.utils.cio import encode_batch
+
+    cfg = create_config(
+        500.0, dataset, str(tmp_path / "pf"), num_freq_bins=512,
+        sample_rate=8000.0, max_epochs=1, batch_size=8,
+        use_colorless_loss=False,
+    )
+    room = ThreeRoomDataset(dataset, nfft=512)
+    arrays = arrays_from_room_dataset(room)
+    model = build_gfdn_model(
+        cfg, common_decay_times=room.common_decay_times,
+        band_centre_hz=room.band_centre_hz,
+    )
+    resps = np.stack([
+        subband_filter_response(f, (63.0, 4000.0), 1, 8000.0, 512)
+        for f in (500.0, 1000.0)
+    ])
+    trainer = BandParallelTrainer(
+        model, cfg.trainer_config, resps, steps_per_epoch=1,
+        max_ir_len_ms=60.0,
+    )
+    example = next(iter(iterate_batches(arrays, np.arange(8), 8, shuffle=False)))
+    params, _ = trainer.init(example, seeds=[1, 2])
+    # force: the virtual multi-device CPU mesh is gated off the fast path,
+    # but the unjitted vmapped loss below runs single-device
+    trainer.precompute_band_target_features(arrays, force=True)
+
+    enc = encode_batch(example)
+    key = jax.random.PRNGKey(0)
+    idx = jnp.arange(8)
+    feats = {k: v[:, :8] for k, v in trainer._band_feats.items()}
+    slow = trainer._vstepped(params, enc, {}, trainer._band_resps_dev, key)[0]
+    fast = trainer._vstepped(params, enc, feats, trainer._band_resps_dev, key)[0]
+    np.testing.assert_allclose(
+        np.asarray(fast), np.asarray(slow), rtol=2e-3, atol=1e-4
+    )
+
+
+def test_precomputed_features_fit_on_single_device_mesh(dataset, tmp_path):
+    """The precomputed-target fast path trains end-to-end on a single-device
+    mesh (multi-device CPU meshes are gated to the slow path)."""
+    import jax
+
+    from diffgfdn_tpu.cli.run_subband_training import create_config
+    from diffgfdn_tpu.data.batching import (
+        arrays_from_room_dataset,
+        iterate_batches,
+    )
+    from diffgfdn_tpu.data.room_dataset import ThreeRoomDataset
+    from diffgfdn_tpu.ops.filterbanks import subband_filter_response
+    from diffgfdn_tpu.parallel import BandParallelTrainer
+    from diffgfdn_tpu.parallel.mesh import make_mesh
+    from diffgfdn_tpu.training.build import build_gfdn_model
+
+    cfg = create_config(
+        500.0, dataset, str(tmp_path / "sd"), num_freq_bins=512,
+        sample_rate=8000.0, max_epochs=2, batch_size=8,
+        use_colorless_loss=False,
+    )
+    room = ThreeRoomDataset(dataset, nfft=512)
+    arrays = arrays_from_room_dataset(room)
+    model = build_gfdn_model(
+        cfg, common_decay_times=room.common_decay_times,
+        band_centre_hz=room.band_centre_hz,
+    )
+    resps = np.stack([
+        subband_filter_response(500.0, (63.0, 4000.0), 1, 8000.0, 512)
+    ])
+    mesh = make_mesh(1, devices=jax.devices("cpu")[:1])
+    trainer = BandParallelTrainer(
+        model, cfg.trainer_config, resps, steps_per_epoch=2,
+        max_ir_len_ms=60.0, mesh=mesh,
+    )
+    example = next(iter(iterate_batches(arrays, np.arange(8), 8, shuffle=False)))
+    params, opt = trainer.init(example, seeds=[1])
+    trainer.precompute_band_target_features(arrays)
+    assert trainer._band_feats is not None  # single-device: fast path ON
+    params, opt, hist = trainer.fit_indexed(
+        params, opt, arrays, train_idx=np.arange(19),
+        valid_idx=np.arange(19, 24), max_epochs=2,
+    )
+    assert hist.shape == (2, 1) and np.isfinite(hist).all()
