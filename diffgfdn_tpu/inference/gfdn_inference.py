@@ -222,6 +222,62 @@ class InferDiffGFDN:
             outs.append(rir[: len(idx)])
         return np.concatenate(outs, axis=0)
 
+    def rirs_with_amplitudes(
+        self,
+        rec_indices: np.ndarray,
+        amplitudes: np.ndarray,
+        batch_size: int = 32,
+    ) -> np.ndarray:
+        """Synthesize with EXTERNALLY provided common-slope amplitudes.
+
+        ``amplitudes`` (len(rec_indices), num_groups) replace the MLP
+        head's per-group output scalars — the reference's direct-CS-
+        amplitude inference mode (inference.py:590-605), used to drive a
+        trained GFDN from a common-slopes model's amplitude predictions.
+        Scalar-head models only (SVF heads have no scalar injection point).
+        """
+        if getattr(self.model, "use_svf_in_output", False):
+            raise ValueError(
+                "direct CS-amplitude injection needs a scalar-head model "
+                "(use_svf_in_output=False)"
+            )
+        tc = self.config.trainer_config
+        arrays = arrays_from_room_dataset(
+            self.room_data,
+            new_sampling_radius=(
+                None
+                if tc.reduced_pole_radius == 1.0
+                else 1.0 / tc.reduced_pole_radius
+            ),
+        )
+        model = self.model
+        rpr = tc.reduced_pole_radius
+
+        @jax.jit
+        def synth(params, enc_batch, amps):
+            batch = decode_batch(enc_batch)
+            h = model.apply(params, batch, amps)
+            n = 2 * (h.shape[-1] - 1)
+            rir = jnp.fft.irfft(h, n, axis=-1)
+            if rpr != 1.0:
+                rir = rir * jnp.power(1.0 / rpr, jnp.arange(n))
+            return rir
+
+        rec_indices = np.asarray(rec_indices)
+        amplitudes = np.asarray(amplitudes, np.float32)
+        outs = []
+        for k in range(0, len(rec_indices), batch_size):
+            idx = rec_indices[k : k + batch_size]
+            amp = amplitudes[k : k + batch_size]
+            pad = batch_size - len(idx)
+            if pad:
+                idx = np.concatenate([idx, idx[:1].repeat(pad)])
+                amp = np.concatenate([amp, amp[:1].repeat(pad, axis=0)])
+            batch = encode_batch(gather_batch(arrays, idx))
+            rir = np.asarray(synth(self.params, batch, amp))
+            outs.append(rir[: len(rec_indices[k : k + batch_size])])
+        return np.concatenate(outs, axis=0)
+
     def head_outputs(self, rec_indices: np.ndarray) -> Dict:
         """Per-position head outputs (gains / SVF params) at the indices."""
         arrays = arrays_from_room_dataset(self.room_data)

@@ -233,7 +233,26 @@ def run_training_var_receiver_pos(
         trainer.save_irs(params, train_batches(0), tc.ir_dir)
         trainer.save_irs(params, valid_batches(), tc.ir_dir,
                          filename_prefix="valid_ir")
+        if tc.save_true_irs:
+            _save_true_irs(room_data, indices, tc.ir_dir)
     return trainer, params
+
+
+def _save_true_irs(room_data, rec_indices, ir_dir) -> None:
+    """Ground-truth RIR wavs alongside the synthesized ones
+    (TrainerConfig.save_true_irs; the reference dumps both for A/B
+    listening, trainer.py:503-564)."""
+    import os
+
+    from ..data.audio import write_wav
+
+    os.makedirs(ir_dir, exist_ok=True)
+    for i in np.asarray(rec_indices):
+        pos = room_data.receiver_position[i]
+        rir = np.asarray(room_data.rirs[i], np.float32)
+        peak = np.max(np.abs(rir)) + 1e-12
+        name = f"true_ir_({pos[0]:.2f}, {pos[1]:.2f}, {pos[2]:.2f}).wav"
+        write_wav(os.path.join(ir_dir, name), rir / peak, room_data.sample_rate)
 
 
 def parse_position_from_filename(path) -> Optional[np.ndarray]:

@@ -260,3 +260,34 @@ def test_time_domain_synthesis_filter_coupling_scalar_gains():
     )
     peak = np.max(np.abs(rir_fd))
     assert np.max(np.abs(rir_td - rir_fd)) < 5e-3 * peak
+
+
+def test_rirs_with_direct_cs_amplitudes(tmp_path, room):
+    """The direct CS-amplitude inference mode (reference inference.py:
+    590-605): externally provided amplitudes replace the MLP head and
+    change the synthesized RIRs accordingly."""
+    cfg = _config(tmp_path, max_epochs=1)
+    trainer, params = run_training_var_receiver_pos(cfg, room_data=room)
+    infer = InferDiffGFDN(cfg, room, variant="var_receiver", params=params)
+
+    idx = np.arange(3)
+    amps = np.full((3, 3), 0.5, np.float32)
+    r1 = infer.rirs_with_amplitudes(idx, amps)
+    assert r1.shape == (3, 1024) and np.isfinite(r1).all()
+    # scaling all slope amplitudes scales the late field linearly
+    r2 = infer.rirs_with_amplitudes(idx, 2.0 * amps)
+    late1 = r1[:, 400:]
+    late2 = r2[:, 400:]
+    ratio = np.linalg.norm(late2, axis=-1) / (np.linalg.norm(late1, axis=-1) + 1e-12)
+    assert np.allclose(ratio, 2.0, atol=0.2), ratio
+
+
+def test_save_true_irs_option(tmp_path, room):
+    """TrainerConfig.save_true_irs dumps ground-truth wavs next to the
+    synthesized ones."""
+    import glob as _glob
+
+    cfg = _config(tmp_path, max_epochs=1, save_true_irs=True)
+    run_training_var_receiver_pos(cfg, room_data=room, export_irs=True)
+    true_wavs = _glob.glob(str(tmp_path / "audio" / "true_ir_*.wav"))
+    assert len(true_wavs) > 0
