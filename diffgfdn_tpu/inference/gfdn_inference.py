@@ -29,17 +29,22 @@ from ..utils.cio import decode_batch, encode_batch
 logger = logging.getLogger("diffgfdn_tpu")
 
 
-def make_rir_synthesis_fn(model, reduced_pole_radius: float = 1.0):
-    """Jitted (params, encoded_batch) -> time-domain RIRs (B, nfft).
+def make_rir_synthesis_fn(
+    model,
+    reduced_pole_radius: float = 1.0,
+    external_amplitudes: bool = False,
+):
+    """Jitted (params, encoded_batch[, amplitudes]) -> RIRs (B, nfft).
 
     irffts the model's transfer function and undoes sampling outside the
     unit circle with a growing exponential (reference: trainer.py:528-532).
+    ``external_amplitudes=True`` adds a (B, num_groups) argument that
+    replaces the MLP head's per-group output scalars (the reference's
+    direct-CS-amplitude inference mode, inference.py:590-605).
     """
 
-    @jax.jit
-    def synth(params, enc_batch):
-        batch = decode_batch(enc_batch)
-        out = model.apply(params, batch)
+    def _to_rir(params, batch, *amps):
+        out = model.apply(params, batch, *amps)
         h = out[0] if model.use_colorless_loss else out
         n = 2 * (h.shape[-1] - 1)
         rir = jnp.fft.irfft(h, n, axis=-1)
@@ -48,6 +53,15 @@ def make_rir_synthesis_fn(model, reduced_pole_radius: float = 1.0):
                 1.0 / reduced_pole_radius, jnp.arange(rir.shape[-1])
             )
         return rir
+
+    if external_amplitudes:
+        @jax.jit
+        def synth(params, enc_batch, amps):
+            return _to_rir(params, decode_batch(enc_batch), amps)
+    else:
+        @jax.jit
+        def synth(params, enc_batch):
+            return _to_rir(params, decode_batch(enc_batch))
 
     return synth
 
@@ -199,10 +213,9 @@ class InferDiffGFDN:
             self.model, config.trainer_config.reduced_pole_radius
         )
 
-    def rirs_at(self, rec_indices: np.ndarray, batch_size: int = 32) -> np.ndarray:
-        """Synthesize RIRs at the given dataset receiver indices."""
+    def _arrays(self):
         tc = self.config.trainer_config
-        arrays = arrays_from_room_dataset(
+        return arrays_from_room_dataset(
             self.room_data,
             new_sampling_radius=(
                 None
@@ -210,17 +223,34 @@ class InferDiffGFDN:
                 else 1.0 / tc.reduced_pole_radius
             ),
         )
-        outs = []
+
+    def _batched_synth(
+        self, synth, rec_indices, batch_size: int, amplitudes=None
+    ) -> np.ndarray:
+        """Pad-to-batch/trim loop shared by all synthesis entry points."""
+        arrays = self._arrays()
         rec_indices = np.asarray(rec_indices)
+        outs = []
         for k in range(0, len(rec_indices), batch_size):
             idx = rec_indices[k : k + batch_size]
-            # pad to full batch for a single compile, then trim
-            pad = batch_size - len(idx)
-            idx_p = np.concatenate([idx, idx[:1].repeat(pad)]) if pad else idx
-            batch = encode_batch(gather_batch(arrays, idx_p))
-            rir = np.asarray(self._synth(self.params, batch))
-            outs.append(rir[: len(idx)])
+            n_real = len(idx)
+            pad = batch_size - n_real
+            if pad:  # pad to full batch for a single compile, then trim
+                idx = np.concatenate([idx, idx[:1].repeat(pad)])
+            batch = encode_batch(gather_batch(arrays, idx))
+            if amplitudes is None:
+                rir = np.asarray(synth(self.params, batch))
+            else:
+                amp = amplitudes[k : k + batch_size]
+                if pad:
+                    amp = np.concatenate([amp, amp[:1].repeat(pad, axis=0)])
+                rir = np.asarray(synth(self.params, batch, amp))
+            outs.append(rir[:n_real])
         return np.concatenate(outs, axis=0)
+
+    def rirs_at(self, rec_indices: np.ndarray, batch_size: int = 32) -> np.ndarray:
+        """Synthesize RIRs at the given dataset receiver indices."""
+        return self._batched_synth(self._synth, rec_indices, batch_size)
 
     def rirs_with_amplitudes(
         self,
@@ -241,42 +271,20 @@ class InferDiffGFDN:
                 "direct CS-amplitude injection needs a scalar-head model "
                 "(use_svf_in_output=False)"
             )
-        tc = self.config.trainer_config
-        arrays = arrays_from_room_dataset(
-            self.room_data,
-            new_sampling_radius=(
-                None
-                if tc.reduced_pole_radius == 1.0
-                else 1.0 / tc.reduced_pole_radius
-            ),
-        )
-        model = self.model
-        rpr = tc.reduced_pole_radius
-
-        @jax.jit
-        def synth(params, enc_batch, amps):
-            batch = decode_batch(enc_batch)
-            h = model.apply(params, batch, amps)
-            n = 2 * (h.shape[-1] - 1)
-            rir = jnp.fft.irfft(h, n, axis=-1)
-            if rpr != 1.0:
-                rir = rir * jnp.power(1.0 / rpr, jnp.arange(n))
-            return rir
-
         rec_indices = np.asarray(rec_indices)
         amplitudes = np.asarray(amplitudes, np.float32)
-        outs = []
-        for k in range(0, len(rec_indices), batch_size):
-            idx = rec_indices[k : k + batch_size]
-            amp = amplitudes[k : k + batch_size]
-            pad = batch_size - len(idx)
-            if pad:
-                idx = np.concatenate([idx, idx[:1].repeat(pad)])
-                amp = np.concatenate([amp, amp[:1].repeat(pad, axis=0)])
-            batch = encode_batch(gather_batch(arrays, idx))
-            rir = np.asarray(synth(self.params, batch, amp))
-            outs.append(rir[: len(rec_indices[k : k + batch_size])])
-        return np.concatenate(outs, axis=0)
+        expected = (len(rec_indices), self.model.num_groups)
+        if amplitudes.shape != expected:
+            raise ValueError(
+                f"amplitudes must have shape {expected} "
+                f"(one row per receiver index), got {amplitudes.shape}"
+            )
+        synth = make_rir_synthesis_fn(
+            self.model,
+            self.config.trainer_config.reduced_pole_radius,
+            external_amplitudes=True,
+        )
+        return self._batched_synth(synth, rec_indices, batch_size, amplitudes)
 
     def head_outputs(self, rec_indices: np.ndarray) -> Dict:
         """Per-position head outputs (gains / SVF params) at the indices."""

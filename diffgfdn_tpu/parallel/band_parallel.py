@@ -341,7 +341,7 @@ class BandParallelTrainer:
         """
         n_dev = int(np.prod(self.mesh.devices.shape))
         platforms = {d.platform for d in self.mesh.devices.flat}
-        if not force and n_dev > 1 and platforms != {"tpu"}:
+        if not force and n_dev > 1 and "cpu" in platforms:
             import logging
 
             logging.getLogger("diffgfdn_tpu").info(
@@ -392,12 +392,12 @@ class BandParallelTrainer:
                     jnp.concatenate(sums, axis=0),
                 )
             )
-        # replicated storage: band-sharded feats pushed a transposed
-        # operand layout into the step's fft ops, which XLA:CPU's fft
-        # thunk rejects (dim0-major RET_CHECK) on the virtual test mesh
-        repl = replicated(self.mesh)
+        # band-sharded storage: each device of a multi-chip band mesh only
+        # reads its own band's slice (replicating the EDR features would
+        # cost ~4 GB of HBM per chip at flagship scale)
+        bsh = band_sharding(self.mesh)
         self._band_feats = {
-            key: jax.device_put(jnp.stack([bb[i] for bb in bands]), repl)
+            key: jax.device_put(jnp.stack([bb[i] for bb in bands]), bsh)
             for i, key in enumerate(
                 ("target_edc_db", "target_edr_db", "target_edr_abs_sum")
             )

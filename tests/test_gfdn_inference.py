@@ -282,6 +282,20 @@ def test_rirs_with_direct_cs_amplitudes(tmp_path, room):
     assert np.allclose(ratio, 2.0, atol=0.2), ratio
 
 
+def test_rirs_with_amplitudes_colorless_model_and_validation(tmp_path, room):
+    """Tuple-returning (colorless-loss) models work through the direct-
+    amplitude mode, and shape mismatches fail at the API boundary."""
+    import pytest as _pytest
+
+    cfg = _config(tmp_path, max_epochs=1, use_colorless_loss=True)
+    trainer, params = run_training_var_receiver_pos(cfg, room_data=room)
+    infer = InferDiffGFDN(cfg, room, variant="var_receiver", params=params)
+    r = infer.rirs_with_amplitudes(np.arange(2), np.full((2, 3), 0.5, np.float32))
+    assert r.shape == (2, 1024) and np.isfinite(r).all()
+    with _pytest.raises(ValueError, match="shape"):
+        infer.rirs_with_amplitudes(np.arange(3), np.full((2, 3), 0.5))
+
+
 def test_save_true_irs_option(tmp_path, room):
     """TrainerConfig.save_true_irs dumps ground-truth wavs next to the
     synthesized ones."""
