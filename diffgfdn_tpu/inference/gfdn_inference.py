@@ -78,7 +78,10 @@ def make_time_domain_synthesis_fn(model, params, num_samples: int):
 
     * scalar heads: per-position mix is one (B, N) x (N, T) matmul;
     * SVF heads: the per-group output filters (short IIRs) are applied via
-      a generously zero-padded rFFT product on the alias-free line outputs.
+      a generously zero-padded rFFT product on the alias-free line outputs;
+    * directional models: the loop runs with the TRANSPOSED feedback matrix
+      (q = P^T b) and the SH beamforming weights mix the per-line outputs —
+      returns (B, (ambi_order+1)^2, num_samples) SRIRs.
 
     The direct/early path is NOT added here — renderers splice it
     separately (reference sound_examples.py:25-77).
@@ -108,7 +111,10 @@ def make_time_domain_synthesis_fn(model, params, num_samples: int):
     def _group_resp(mdl, x):
         return mdl.output_filters(x)  # (B, G, F) complex
 
+    from ..models import DiffDirectionalFDNVarReceiverPos
+
     use_svf = bool(getattr(model, "use_svf_in_output", False))
+    directional = isinstance(model, DiffDirectionalFDNVarReceiverPos)
 
     # ----- factory-time, batch-independent work (computed exactly ONCE) -----
     # the delay-line run y = impulse response of the loop is position-
@@ -121,6 +127,12 @@ def make_time_domain_synthesis_fn(model, params, num_samples: int):
         )
     )(params)
     a_np = np.asarray(a)
+    if directional:
+        # the directional model reads the TRANSPOSED drive q = P(z)^T b
+        # (models/gfdn.py ~:565); P^T = (D Gamma^-1 - A^T)^-1 since the
+        # delay/absorption part is diagonal, so the time-domain loop simply
+        # runs with the transposed feedback matrix
+        a = jnp.swapaxes(a, -1, -2)
     impulse = jnp.zeros(num_samples, jnp.float32).at[0].set(1.0)
     if model.sos_coeffs is not None:
         bank = filter_bank_from_sos(np.asarray(model.sos_coeffs), delays)
@@ -134,6 +146,27 @@ def make_time_domain_synthesis_fn(model, params, num_samples: int):
     else:
         y = delay_line_outputs(delays, gamma, a, b, impulse)  # (T, N)
     y = jax.device_put(y)
+
+    if directional:
+        # SH-domain SRIRs: rir_sh[b, l, t] = sum_g w[b, g, l] y[t, g, l]
+        g_groups = model.num_groups
+
+        def _sh_weights(mdl, x):
+            sh_gains = mdl.sh_output_scalars(x, normalise=True)
+            return sh_gains * mdl.output_gains.reshape(g_groups, nper)[None]
+
+        @jax.jit
+        def _mix_sh(p, e, y_dev):
+            w = model.apply(p, decode_batch(e), method=_sh_weights)
+            y_gl = y_dev.reshape(num_samples, g_groups, nper)
+            return jnp.einsum(
+                "bgl,tgl->blt", w, y_gl, precision=jax.lax.Precision.HIGHEST
+            )
+
+        def synth(batch) -> jnp.ndarray:
+            return _mix_sh(params, encode_batch(batch), y)
+
+        return synth
 
     # jitted per-batch heads, created ONCE so repeat synth() calls hit the
     # jit cache (a fresh jit(lambda) per call would re-trace every time)

@@ -305,3 +305,58 @@ def test_save_true_irs_option(tmp_path, room):
     run_training_var_receiver_pos(cfg, room_data=room, export_irs=True)
     true_wavs = _glob.glob(str(tmp_path / "audio" / "true_ir_*.wav"))
     assert len(true_wavs) > 0
+
+
+def test_time_domain_synthesis_directional_matches_freq_path():
+    """Directional models synthesize alias-free in the time domain: the
+    loop runs transposed (q = P^T b) and the SH weights mix the line
+    outputs — matches irfft of the frequency-sampled SH response."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffgfdn_tpu.inference.gfdn_inference import (
+        make_time_domain_synthesis_fn,
+    )
+    from diffgfdn_tpu.models import DiffDirectionalFDNVarReceiverPos
+    from diffgfdn_tpu.models.spatial import build_analysis_matrix
+    from diffgfdn_tpu.ops.absorption import decay_times_to_gain_per_sample
+    from diffgfdn_tpu.ops.sph import t_design_directions
+    from diffgfdn_tpu.utils.cio import decode_batch, encode_batch, init_with_batch
+
+    fs = 8000.0
+    nfft = 4096
+    delays = tuple(int(d) for d in (61, 67, 71, 73, 79, 83, 89, 97))
+    gains = np.asarray(
+        decay_times_to_gain_per_sample(0.05, np.asarray(delays), fs)
+    )
+    model = DiffDirectionalFDNVarReceiverPos(
+        sample_rate=fs, num_groups=2, delays=delays, gains=gains,
+        ambi_order=1,  # 4 lines per group
+        use_zero_coupling=False,
+        analysis_matrix=build_analysis_matrix(1, t_design_directions(3), None),
+        num_hidden_layers=1, num_neurons=8, num_fourier_features=2,
+    )
+    rng = np.random.RandomState(0)
+    pos = rng.rand(2, 3).astype(np.float32)
+    batch = {
+        "z_values": np.exp(1j * np.linspace(0, np.pi, nfft // 2 + 1)).astype(
+            np.complex64
+        ),
+        "source_position": rng.rand(2, 3).astype(np.float32),
+        "listener_position": pos,
+        "norm_listener_position": pos,
+    }
+    params = init_with_batch(model, jax.random.PRNGKey(0), batch)
+
+    @jax.jit
+    def freq_path(p, e):
+        h = model.apply(p, decode_batch(e))  # (B, L, F) complex
+        return jnp.fft.irfft(h, nfft, axis=-1)
+
+    srir_fd = np.asarray(freq_path(params, encode_batch(batch)))
+    srir_td = np.asarray(
+        make_time_domain_synthesis_fn(model, params, nfft)(batch)
+    )
+    assert srir_td.shape == srir_fd.shape == (2, 4, nfft)
+    peak = np.max(np.abs(srir_fd))
+    assert np.max(np.abs(srir_td - srir_fd)) < 2e-3 * peak
