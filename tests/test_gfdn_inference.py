@@ -360,3 +360,17 @@ def test_time_domain_synthesis_directional_matches_freq_path():
     assert srir_td.shape == srir_fd.shape == (2, 4, nfft)
     peak = np.max(np.abs(srir_fd))
     assert np.max(np.abs(srir_td - srir_fd)) < 2e-3 * peak
+
+
+def test_amplitude_injection_reproduces_head_outputs(tmp_path, room):
+    """Feeding the MLP head's OWN per-group gains through the direct-
+    amplitude mode reproduces rirs_at exactly (the injection point is the
+    same multiplier the head drives)."""
+    cfg = _config(tmp_path, max_epochs=1)
+    trainer, params = run_training_var_receiver_pos(cfg, room_data=room)
+    infer = InferDiffGFDN(cfg, room, variant="var_receiver", params=params)
+    idx = np.arange(4)
+    own_gains = infer.head_outputs(idx)["gains"]  # (4, G)
+    r_head = infer.rirs_at(idx, batch_size=4)
+    r_inj = infer.rirs_with_amplitudes(idx, own_gains, batch_size=4)
+    np.testing.assert_allclose(r_inj, r_head, rtol=1e-4, atol=1e-6)
