@@ -50,11 +50,15 @@ def run_inference_on_all_bands(
     else:
         from ..inference.sofa import SRIRSOFAWriter
 
+        rirs = np.asarray(cs_room.rirs)
+        if rirs.ndim == 2:  # omni synthesis: single receiver channel
+            rirs = rirs[:, None, :]
+        ambi_order = int(np.sqrt(rirs.shape[1]) - 1)
         writer = SRIRSOFAWriter(
-            cs_room.num_rec, cs_room.ambi_order, cs_room.rir_length,
+            cs_room.num_rec, ambi_order, cs_room.rir_length,
             cs_room.sample_rate,
         )
-        writer.set_ir_data(cs_room.rirs)
+        writer.set_ir_data(rirs)
         writer.set_receiver_positions(cs_room.receiver_position)
         writer.set_source_positions(cs_room.source_position)
         writer.write_to_file(out.with_suffix(".sofa"))
@@ -77,8 +81,10 @@ def main(argv=None):
 
     logging.basicConfig(level=logging.INFO)
     if args.infer_dataset is not None:
+        # no per-band configs -> single-band inference with the main config
+        band_configs = args.band_configs or [args.config]
         run_inference_on_all_bands(
-            args.band_configs, args.infer_dataset, args.grid_resolution,
+            band_configs, args.infer_dataset, args.grid_resolution,
             args.output, args.return_brirs, args.hrtf,
         )
         return

@@ -7,13 +7,20 @@ Replaces the reference's sofar/soundfile stack (sofa_parser.py:265-532):
 * :func:`convert_srir_to_brir` — SRIR -> BRIR for head orientations.
 
 SOFA files are netCDF4 (=HDF5); h5py reads them directly. Files we write
-use plain HDF5 datasets with the SOFA dataset names and global attributes —
-readable by this module and by h5py-based tooling.
+are netCDF4-conformant HDF5: every SOFA dimension (M, R, N, E, C, I) is an
+HDF5 dimension-scale dataset carrying netCDF-c's ``CLASS``/``NAME``/
+``_Netcdf4Dimid`` attribute contract, every variable attaches those scales
+(producing the ``DIMENSION_LIST``/``REFERENCE_LIST`` pairs netCDF-c walks),
+and the root carries ``_NCProperties`` plus the SingleRoomSRIR convention's
+global metadata — so sofar / netCDF4-python / the Matlab SOFA API read the
+files, not just this module.
 """
 
+import datetime
 import logging
+import time
 from pathlib import Path
-from typing import Tuple, Union
+from typing import Dict, Optional, Sequence, Tuple, Union
 
 import numpy as np
 from scipy.signal import resample_poly
@@ -21,6 +28,55 @@ from scipy.signal import resample_poly
 from ..ops.sph import sh_matrix, sh_rotation_yaw_pitch_roll
 
 logger = logging.getLogger("diffgfdn_tpu")
+
+# netCDF-c identifies a pure dimension (one with no same-named variable) by
+# this NAME prefix on its dimension-scale dataset; the trailing %10d is the
+# dimension length, exactly as netCDF-c and h5netcdf write it.
+_NC_PHONY_DIM = "This is a netCDF dimension but not a netCDF variable."
+
+
+class _NetCDF4Builder:
+    """Write netCDF4-conformant structure into an open h5py file.
+
+    netCDF4 is a strict subset of HDF5: named dimensions are HDF5
+    dimension-scale datasets (``CLASS="DIMENSION_SCALE"`` plus netCDF-c's
+    ``NAME`` and ``_Netcdf4Dimid`` attributes) and each variable axis is
+    attached to its scale, which materialises the ``DIMENSION_LIST`` /
+    ``REFERENCE_LIST`` attribute pair netCDF-c requires. This mirrors what
+    sofar produces for the reference (sofa_parser.py:507-532 writes through
+    sofar.write_sofa -> netCDF4).
+    """
+
+    def __init__(self, f):
+        self.f = f
+        self.scales: Dict[str, "object"] = {}
+        # netCDF-c records its superblock properties here; readers only
+        # check presence/prefix, writers identify themselves.
+        f.attrs.create(
+            "_NCProperties", np.bytes_("version=2,diffgfdn_tpu=0.1.0")
+        )
+
+    def dim(self, name: str, size: int):
+        """Create a named dimension of ``size`` (a dimension-scale dataset)."""
+        d = self.f.create_dataset(name, shape=(size,), dtype="f4")
+        d.make_scale(f"{_NC_PHONY_DIM}{size:10d}")
+        d.attrs.create("_Netcdf4Dimid", np.int32(len(self.scales)))
+        self.scales[name] = d
+
+    def var(
+        self,
+        name: str,
+        data: np.ndarray,
+        dims: Sequence[str],
+        attrs: Optional[Dict[str, str]] = None,
+    ):
+        """Create a variable with its axes attached to named dimensions."""
+        ds = self.f.create_dataset(name, data=data)
+        for axis, dim_name in enumerate(dims):
+            ds.dims[axis].attach_scale(self.scales[dim_name])
+        for key, val in (attrs or {}).items():
+            ds.attrs[key] = val
+        return ds
 
 
 def _fraction(ratio: float, max_den: int = 1000) -> Tuple[int, int]:
@@ -146,23 +202,105 @@ class SRIRSOFAWriter:
         self.ir_length = self.ir_data.shape[-1]
 
     def write_to_file(self, path: Union[str, Path]):
+        """Write a netCDF4-conformant SingleRoomSRIR file.
+
+        Matches the structure sofar produces for the reference
+        (sofa_parser.py:290-449,507-532): the SingleRoomSRIR convention's
+        mandatory global metadata, cartesian listener/source/receiver/emitter
+        geometry with Type/Units attributes, and Data.IR of dims (M, R, N)
+        with DataType "FIR" — all written as real netCDF4 (dimension scales
+        attached on every variable axis) so external SOFA toolchains accept
+        the file.
+        """
         import h5py
 
-        with h5py.File(str(path), "w") as f:
-            f.attrs["Conventions"] = "SOFA"
-            f.attrs["SOFAConventions"] = "SingleRoomSRIR"
-            f.attrs["DataType"] = "FIR"
-            f.attrs["AmbisonicsOrder"] = self.ambi_order
-            f.create_dataset("Data.IR", data=self.ir_data.astype(np.float64))
-            f.create_dataset(
-                "Data.SamplingRate", data=np.array([self.fs])
+        now = datetime.datetime.now().strftime("%Y-%m-%d %H:%M:%S")
+        cart = {"Type": "cartesian", "Units": "metre"}
+        m, r, n = self.num_receivers, self.num_channels, self.ir_length
+        with h5py.File(str(path), "w", track_order=True) as f:
+            nc = _NetCDF4Builder(f)
+            for k, v in {
+                "Conventions": "SOFA",
+                "Version": "2.1",
+                "SOFAConventions": "SingleRoomSRIR",
+                "SOFAConventionsVersion": "1.0",
+                "APIName": "diffgfdn_tpu",
+                "APIVersion": "0.1.0",
+                "ApplicationName": "AmbisonicSRIRWriter",
+                "AuthorContact": "",
+                "Comment": f"ambisonics order {self.ambi_order}",
+                "DataType": "FIR",
+                "History": "",
+                "License": (
+                    "No license provided, ask the author for permission"
+                ),
+                "Organization": "",
+                "References": "",
+                "RoomType": "shoebox",
+                "Origin": "",
+                "DateCreated": now,
+                "DateModified": now,
+                "Title": "Ambisonic SRIR set",
+                "DatabaseName": "",
+                "RoomDescription": "",
+            }.items():
+                f.attrs[k] = v
+            f.attrs.create("AmbisonicsOrder", np.int32(self.ambi_order))
+
+            for name, size in (
+                ("M", m), ("R", r), ("N", n), ("E", 1), ("C", 3), ("I", 1)
+            ):
+                nc.dim(name, size)
+
+            facing_y = np.tile(
+                np.array([0.0, 1.0, 0.0], np.float32), (r, 1)
+            )[:, :, None]
+            up_z = np.tile(
+                np.array([0.0, 0.0, 1.0], np.float32), (r, 1)
+            )[:, :, None]
+            nc.var(
+                "ListenerPosition",
+                self.receiver_positions.astype(np.float64),
+                ("M", "C"), cart,
             )
-            f.create_dataset(
-                "ListenerPosition", data=self.receiver_positions.astype(np.float64)
+            nc.var(
+                "ListenerView", np.array([[1.0, 0.0, 0.0]]), ("I", "C"), cart
             )
-            f.create_dataset(
-                "SourcePosition", data=self.source_positions.astype(np.float64)
+            nc.var("ListenerUp", np.array([[0.0, 0.0, 1.0]]), ("I", "C"))
+            nc.var(
+                "ReceiverPosition", np.zeros((r, 3, 1)), ("R", "C", "I"), cart
             )
+            nc.var("ReceiverView", facing_y, ("R", "C", "I"), cart)
+            nc.var("ReceiverUp", up_z, ("R", "C", "I"))
+            src = np.tile(
+                self.source_positions.reshape(1, 3).astype(np.float64), (m, 1)
+            )
+            nc.var("SourcePosition", src, ("M", "C"), cart)
+            nc.var(
+                "SourceView", np.array([[1.0, 0.0, 0.0]]), ("I", "C"), cart
+            )
+            nc.var("SourceUp", np.array([[0.0, 0.0, 1.0]]), ("I", "C"))
+            nc.var(
+                "EmitterPosition", np.zeros((1, 3, 1)), ("E", "C", "I"), cart
+            )
+            nc.var("Data.IR", self.ir_data.astype(np.float64), ("M", "R", "N"))
+            nc.var(
+                "Data.SamplingRate",
+                np.array([self.fs]),
+                ("I",),
+                {"Units": "hertz"},
+            )
+            nc.var("Data.Delay", np.zeros((1, r)), ("I", "R"))
+            nc.var(
+                "MeasurementDate", np.full(m, time.time()), ("M",)
+            )
+            desc = f.create_dataset(
+                "ReceiverDescriptions",
+                data=np.array(
+                    ["AmbisonicChannel"] * r, dtype=h5py.string_dtype()
+                ),
+            )
+            desc.dims[0].attach_scale(nc.scales["R"])
         logger.info("wrote SOFA file %s", path)
 
 

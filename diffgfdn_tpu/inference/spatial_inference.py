@@ -95,6 +95,11 @@ def get_soundfield_from_trained_model(
     amplitudes = np.stack(amps, axis=-1)  # (..., num_bands)
 
     cdt = np.squeeze(np.asarray(room_data.common_decay_times))
+    # directional iff the trained heads emit per-direction amplitudes
+    # (an omni model trained on a directional dataset yields (P, G, bands))
+    is_directional = (
+        amplitudes.ndim == 4 and room_data.sph_directions is not None
+    )
     rirs = get_rirs_from_common_slopes_model(
         room_data.sample_rate,
         np.asarray(rec_pos_list),
@@ -102,8 +107,8 @@ def get_soundfield_from_trained_model(
         ir_len_samps,
         amplitudes,
         cdt,
-        ambi_order=room_data.ambi_order if room_data.sph_directions is not None else None,
-        des_directions=room_data.sph_directions,
+        ambi_order=room_data.ambi_order if is_directional else None,
+        des_directions=room_data.sph_directions if is_directional else None,
         beamformer_type=configs[0].dnn_config.beamformer_type,
         apply_spatial_bandlimiting=apply_spatial_bandlimiting,
         seed=seed,

@@ -318,6 +318,22 @@ def run_training_spatial_sampling(
 
         room_data = SpatialThreeRoomDataset(config.room_dataset_path)
 
+    if (
+        not config.use_directional_rirs
+        and room_data.amplitudes is not None
+        and room_data.amplitudes.ndim == 3
+    ):
+        # omni training on a directional dataset: collapse the direction
+        # axis (the reference's omni runs load omni-reduced amplitude files;
+        # spatial_sampling/dataloader.py keys omni vs directional on input)
+        import copy
+
+        logger.info("collapsing directional amplitudes to omni (mean over "
+                    "directions) for use_directional_rirs=false")
+        room_data = copy.copy(room_data)
+        room_data.amplitudes = room_data.amplitudes.mean(axis=1)
+        room_data.sph_directions = None
+
     if config.network_type == DNNType.CNN:
         return run_training_spatial_sampling_cnn(
             config, room_data, grid_resolutions, use_edc_loss

@@ -144,6 +144,84 @@ def test_sofa_roundtrip(tmp_path):
         assert float(np.asarray(f["Data.SamplingRate"])[0]) == FS
 
 
+def test_sofa_writer_netcdf4_conformance(tmp_path):
+    """Written files carry real netCDF4 structure, not just HDF5 datasets.
+
+    netCDF-c (and therefore sofar / netCDF4-python / the Matlab SOFA API)
+    requires: dimension-scale datasets with CLASS/NAME/_Netcdf4Dimid, every
+    variable axis attached to a scale (DIMENSION_LIST on the variable,
+    REFERENCE_LIST back on the scale), and _NCProperties at the root.
+    Reference contract: sofa_parser.py:290-449,507-532 (sofar.write_sofa).
+    """
+    import h5py
+
+    rng = np.random.RandomState(0)
+    writer = SRIRSOFAWriter(num_receivers=3, ambi_order=1, ir_length=64,
+                            samplerate=FS)
+    writer.set_ir_data(rng.randn(3, 4, 64))
+    writer.set_receiver_positions(rng.rand(3, 3))
+    writer.set_source_positions(np.array([[1.0, 2.0, 1.5]]))
+    path = tmp_path / "conformant.sofa"
+    writer.write_to_file(path)
+
+    expected_dims = {"M": 3, "R": 4, "N": 64, "E": 1, "C": 3, "I": 1}
+    var_dims = {
+        "Data.IR": ("M", "R", "N"),
+        "Data.SamplingRate": ("I",),
+        "Data.Delay": ("I", "R"),
+        "ListenerPosition": ("M", "C"),
+        "ListenerView": ("I", "C"),
+        "ListenerUp": ("I", "C"),
+        "ReceiverPosition": ("R", "C", "I"),
+        "ReceiverView": ("R", "C", "I"),
+        "ReceiverUp": ("R", "C", "I"),
+        "SourcePosition": ("M", "C"),
+        "SourceView": ("I", "C"),
+        "SourceUp": ("I", "C"),
+        "EmitterPosition": ("E", "C", "I"),
+        "MeasurementDate": ("M",),
+    }
+    with h5py.File(path, "r") as f:
+        # netCDF-c superblock marker
+        assert f.attrs["_NCProperties"].startswith(b"version=2")
+        # mandatory SingleRoomSRIR global metadata
+        for attr in ("Conventions", "Version", "SOFAConventions",
+                     "SOFAConventionsVersion", "DataType", "RoomType",
+                     "License", "DateCreated", "Title", "APIName"):
+            assert attr in f.attrs, attr
+        assert f.attrs["SOFAConventions"] == "SingleRoomSRIR"
+        assert f.attrs["DataType"] == "FIR"
+        # every dimension is a true HDF5 dimension scale with netCDF naming
+        for name, size in expected_dims.items():
+            d = f[name]
+            assert h5py.h5ds.is_scale(d.id), name
+            assert d.shape == (size,)
+            assert d.attrs["CLASS"] == b"DIMENSION_SCALE"
+            assert d.attrs["NAME"].startswith(
+                b"This is a netCDF dimension but not a netCDF variable."
+            )
+            assert "_Netcdf4Dimid" in d.attrs
+            # attach_scale materialised the back-references netCDF-c walks
+            assert "REFERENCE_LIST" in d.attrs, name
+        # every variable axis is attached to the right scale
+        for name, dims in var_dims.items():
+            ds = f[name]
+            assert "DIMENSION_LIST" in ds.attrs, name
+            assert len(ds.dims) == len(dims)
+            for axis, dim_name in enumerate(dims):
+                scales = [s for s in ds.dims[axis].values()]
+                assert len(scales) == 1, (name, axis)
+                assert scales[0] == f[dim_name], (name, axis)
+        # geometry variables carry Type/Units
+        assert ds_attr(f["ListenerPosition"], "Type") == "cartesian"
+        assert ds_attr(f["Data.SamplingRate"], "Units") == "hertz"
+
+
+def ds_attr(ds, key):
+    v = ds.attrs[key]
+    return v.decode() if isinstance(v, bytes) else str(v)
+
+
 def _mock_hrir_reader(tmp_path):
     """Write a tiny HRIR SOFA set on a t-design grid and read it back."""
     import h5py
