@@ -290,6 +290,475 @@ def bench_synthesis_tpu(dur_s: float = 2.0, num_receivers: int = 838):
     return xrt
 
 
+# 27 co-prime delays (9 per group) for the directional config: ambisonic
+# order 2 => 9 SH channels per group, 3 coupled groups (BASELINE config 3)
+DIR_DELAYS = (
+    809, 877, 937, 1009, 1069, 1123, 1187, 1237, 1279,
+    1321, 1381, 1433, 1487, 1531, 1583, 1621, 1669, 1723,
+    1759, 1811, 1861, 1901, 1949, 1993, 2027, 2081, 2129,
+)
+
+
+def _directional_setup():
+    """Shared geometry for the directional TPU bench and its torch baseline."""
+    from diffgfdn_tpu.models.spatial import build_analysis_matrix
+    from diffgfdn_tpu.ops.sph import t_design_directions
+
+    dirs = t_design_directions(5)  # (2, 12) (azi, colat)
+    des = np.stack([dirs[0], np.pi / 2 - dirs[1]])  # (azi, elevation)
+    analysis = build_analysis_matrix(2, des, None)  # (12, 9)
+    rng = np.random.RandomState(7)
+    amps = rng.rand(16, analysis.shape[0], NUM_GROUPS).astype(np.float32)
+    amps *= np.asarray([0.4, 1.0, 0.7], np.float32)  # per-room scale
+    return analysis, amps
+
+
+def bench_tpu_directional(steps: int = 10):
+    """BASELINE config 3: directional FDN training step on TPU.
+
+    N = 27 delay lines (3 coupled groups x 9 SH channels, ambisonic order
+    2), 12 analysis directions, batch 16, nfft 131072, directional EDC
+    loss (SH-domain irfft + time-domain beamforming). Reference semantics:
+    model.py:975-1126 + trainer.py:798-921.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from diffgfdn_tpu.config.schema import TrainerConfig
+    from diffgfdn_tpu.data.batching import BatchArrays
+    from diffgfdn_tpu.losses.spatial import make_decay_envelopes
+    from diffgfdn_tpu.models import DiffDirectionalFDNVarReceiverPos
+    from diffgfdn_tpu.ops.absorption import decay_times_to_gain_per_sample
+    from diffgfdn_tpu.training.optim import make_optimizer
+    from diffgfdn_tpu.training.trainer import DirectionalGFDNTrainer
+    from diffgfdn_tpu.utils.cio import init_with_batch
+    from diffgfdn_tpu.utils.placement import placement_is_tpu
+
+    batch = 16
+    f = NFFT // 2 + 1
+    analysis, amps = _directional_setup()
+    gains = np.concatenate([
+        np.asarray(
+            decay_times_to_gain_per_sample(
+                T60S[k], np.asarray(DIR_DELAYS[9 * k : 9 * k + 9]), FS
+            )
+        )
+        for k in range(NUM_GROUPS)
+    ])
+    model = DiffDirectionalFDNVarReceiverPos(
+        sample_rate=FS,
+        num_groups=NUM_GROUPS,
+        delays=DIR_DELAYS,
+        gains=gains,
+        ambi_order=2,
+        num_hidden_layers=3,
+        num_neurons=128,
+        num_fourier_features=10,
+        analysis_matrix=analysis,
+        use_zero_coupling=False,  # coupled groups: full 27x27 loop inverse
+        use_pallas_inverse=placement_is_tpu(),
+    )
+    cfg = TrainerConfig(batch_size=batch, num_freq_bins=NFFT, max_epochs=1,
+                        lr=1e-3)
+    envelopes = make_decay_envelopes(
+        np.asarray(T60S), int(max(T60S) * FS), FS
+    )
+    trainer = DirectionalGFDNTrainer(
+        model, cfg, steps_per_epoch=21, common_decay_times=np.asarray(T60S),
+        sample_rate=FS, directional_envelopes=np.asarray(envelopes),
+    )
+    rng = np.random.RandomState(0)
+    pos = rng.rand(batch, 3).astype(np.float32) * 4.0
+    zeros = np.zeros((batch, f), np.complex64)
+    arrays = BatchArrays(
+        z_values=np.exp(1j * np.linspace(0, np.pi, f)).astype(np.complex64),
+        source_position=rng.rand(batch, 3).astype(np.float32),
+        listener_position=pos,
+        norm_listener_position=pos / 4.0,
+        target_early_response=zeros,
+        target_late_response=zeros,
+        target_rir_response=zeros,
+        target_common_slope_amps=amps,
+    )
+    raw = {
+        "z_values": arrays.z_values,
+        "listener_position": pos,
+        "norm_listener_position": pos / 4.0,
+        "target_common_slope_amps": amps,
+    }
+    params = init_with_batch(model, jax.random.PRNGKey(0), raw)
+    trainer.optimizer = make_optimizer(cfg, params, 21)
+    opt_state = trainer.optimizer.init(params)
+    data = trainer.upload_arrays(arrays)
+    step = jax.jit(trainer._make_indexed_step(True))
+    idx = jnp.arange(batch, dtype=jnp.int32)
+    key = jax.random.PRNGKey(1)
+
+    log("compiling directional train step...")
+    t0 = time.time()
+    params, opt_state, total, _ = step(params, opt_state, data, idx, key)
+    total.block_until_ready()
+    log(f"directional compile+first: {time.time() - t0:.1f}s, "
+        f"loss={float(total):.3f}")
+
+    times = []
+    for _ in range(4):
+        t0 = time.time()
+        for _ in range(steps):
+            params, opt_state, total, _ = step(params, opt_state, data, idx, key)
+        total.block_until_ready()
+        times.append((time.time() - t0) / steps)
+    dt = float(np.min(times))
+    log(f"directional tpu step: best {dt * 1e3:.1f} ms "
+        f"(median {np.median(times) * 1e3:.1f}) -> {1.0 / dt:.2f} steps/s")
+    return 1.0 / dt
+
+
+def bench_torch_cpu_directional(steps: int = 2):
+    """Equivalent eager torch-CPU directional train step (same work shape:
+    27x27 coupled loop inverse at all bins, SH output mix, directional
+    EDC loss via irfft + beamforming + Schroeder)."""
+    import os
+
+    import torch
+
+    torch.manual_seed(0)
+    torch.set_num_threads(os.cpu_count())
+    batch = 16
+    f = NFFT // 2 + 1
+    n = len(DIR_DELAYS)
+    analysis, amps_np = _directional_setup()
+    analysis_t = torch.tensor(np.asarray(analysis, np.float32))
+    amps = torch.tensor(amps_np)
+    delays = torch.tensor(DIR_DELAYS, dtype=torch.float32)
+    gains = np.concatenate([
+        10.0 ** (-3.0 * np.asarray(DIR_DELAYS[9 * k : 9 * k + 9])
+                 / (FS * T60S[k]))
+        for k in range(NUM_GROUPS)
+    ])
+    gamma = torch.tensor(gains, dtype=torch.float32)
+    t_env = np.arange(int(max(T60S) * FS)) / FS
+    env = np.stack([np.exp(-t_env * np.log(1e6) / t60) for t60 in T60S])
+    env_t = torch.tensor(env, dtype=torch.float32)
+
+    m_param = torch.randn(n, n, requires_grad=True)
+    b_gain = torch.randn(n, requires_grad=True)
+    mlp = torch.nn.Sequential(
+        torch.nn.Linear(60, 128), torch.nn.LayerNorm(128), torch.nn.ReLU(),
+        torch.nn.Linear(128, 128), torch.nn.LayerNorm(128), torch.nn.ReLU(),
+        torch.nn.Linear(128, 128), torch.nn.LayerNorm(128), torch.nn.ReLU(),
+        torch.nn.Linear(128, 128), torch.nn.LayerNorm(128), torch.nn.ReLU(),
+        torch.nn.Linear(128, NUM_GROUPS * 9),
+    )
+    opt = torch.optim.Adam([m_param, b_gain] + list(mlp.parameters()), lr=1e-3)
+    rng = np.random.RandomState(0)
+    pos = torch.tensor(rng.rand(batch, 3).astype(np.float32))
+    freqs = torch.exp(torch.linspace(np.log(1.0), np.log(32.0), 10))
+    z = torch.tensor(
+        np.exp(1j * np.linspace(0, np.pi, f)).astype(np.complex64)
+    )
+    mix = int(0.02 * FS)
+    t_len = env.shape[-1]
+
+    def step():
+        opt.zero_grad()
+        phase = freqs[None, :, None] * np.pi * pos[:, None, :]
+        enc = torch.cat([torch.sin(phase), torch.cos(phase)], -1).reshape(
+            batch, -1
+        )
+        w = torch.tanh(mlp(enc)).reshape(batch, NUM_GROUPS, 9)
+
+        skew = torch.triu(m_param, 1)
+        skew = skew - skew.transpose(-1, -2)
+        a = torch.matrix_exp(skew).to(torch.complex64)
+        d_diag = z[:, None] ** delays[None, :] / gamma[None, :]
+        m = torch.diag_embed(d_diag) - a[None]
+        p = torch.linalg.inv(m)  # (F, 27, 27) complex
+        q = torch.einsum(
+            "fnm,n->fm", p, b_gain.to(torch.complex64)
+        ).reshape(f, NUM_GROUPS, 9)
+        h = torch.einsum("bga,fga->baf", w.to(torch.complex64), q)
+
+        rir_sh = torch.fft.irfft(h, NFFT, dim=-1)[..., mix : mix + t_len]
+        rir_dir = torch.einsum("jl,blt->bjt", analysis_t, rir_sh)
+        edc = torch.flip(
+            torch.cumsum(torch.flip(rir_dir ** 2, dims=[-1]), dim=-1),
+            dims=[-1],
+        )
+        edc_true = torch.einsum(
+            "bjk,kt->bjt", amps, env_t[:, : rir_dir.shape[-1]] ** 2
+        )
+        loss = torch.mean(
+            torch.abs(
+                10 * torch.log10(edc + 1e-9)
+                - 10 * torch.log10(edc_true + 1e-9)
+            )
+        )
+        loss.backward()
+        opt.step()
+        return float(loss.detach())
+
+    t0 = time.time()
+    step()
+    log(f"torch directional warmup: {time.time() - t0:.1f}s")
+    times = []
+    for _ in range(steps):
+        t0 = time.time()
+        step()
+        times.append(time.time() - t0)
+    dt = float(np.min(times))
+    log(f"torch cpu directional step: best {dt:.2f} s -> "
+        f"{1.0 / dt:.3f} steps/s")
+    return 1.0 / dt
+
+
+def bench_tpu_band_parallel(steps: int = 6):
+    """BASELINE config 2: all 8 octave-band GFDNs training in ONE step.
+
+    One chip, fused band axis (vmapped, band-sharded on multi-chip
+    meshes); flagship scale per band (nfft 131072, batch 32). The
+    reference trains the 8 bands as sequential python jobs
+    (run_subband_training_treble.py:175-204).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from diffgfdn_tpu.config.schema import TrainerConfig
+    from diffgfdn_tpu.data.batching import BatchArrays
+    from diffgfdn_tpu.models import DiffGFDNVarReceiverPos
+    from diffgfdn_tpu.ops.absorption import decay_times_to_gain_per_sample
+    from diffgfdn_tpu.ops.filterbanks import subband_filter_response
+    from diffgfdn_tpu.parallel.band_parallel import BandParallelTrainer
+    from diffgfdn_tpu.utils.placement import placement_is_tpu
+
+    f = NFFT // 2 + 1
+    centres = [62.5 * 2.0 ** k for k in range(8)]
+    band_resps = np.stack([
+        subband_filter_response(fc, (min(centres), max(centres)), 1, FS, NFFT)
+        for fc in centres
+    ])  # (8, F) complex
+    gains = np.concatenate([
+        np.asarray(decay_times_to_gain_per_sample(
+            T60S[k], np.asarray(DELAYS[4 * k : 4 * k + 4]), FS))
+        for k in range(NUM_GROUPS)
+    ])
+    model = DiffGFDNVarReceiverPos(
+        sample_rate=FS,
+        num_groups=NUM_GROUPS,
+        delays=DELAYS,
+        gains=gains,
+        use_svf_in_output=False,
+        num_hidden_layers=3,
+        num_neurons=128,
+        num_fourier_features=10,
+        use_pallas_inverse=placement_is_tpu(),
+    )
+    cfg = TrainerConfig(batch_size=BATCH, num_freq_bins=NFFT, max_epochs=1,
+                        lr=1e-3)
+    trainer = BandParallelTrainer(
+        model, cfg, band_resps, steps_per_epoch=21,
+        max_ir_len_ms=float(max(T60S)) * 1e3,
+    )
+    raw = make_batch(f)
+    arrays = BatchArrays(
+        z_values=raw["z_values"],
+        source_position=raw["source_position"],
+        listener_position=raw["listener_position"],
+        norm_listener_position=raw["norm_listener_position"],
+        target_early_response=raw["target_early_response"],
+        target_late_response=raw["target_rir_response"],
+        target_rir_response=raw["target_rir_response"],
+    )
+    # init traces the forward: use a short z grid (param shapes are F-free)
+    small = dict(raw)
+    small["z_values"] = raw["z_values"][:2049]
+    small["target_early_response"] = raw["target_early_response"][:, :2049]
+    params, opt_state = trainer.init(small, seeds=list(range(8)))
+    log("band-parallel: precomputing per-band target features...")
+    trainer.precompute_band_target_features(arrays)
+    data = trainer.upload_arrays(arrays)
+    step = jax.jit(trainer._make_indexed_step())
+    band_feats = trainer._band_feats if trainer._band_feats is not None else {}
+    idx = jnp.arange(BATCH, dtype=jnp.int32)
+    key = jax.random.PRNGKey(1)
+    active = jnp.ones(8, jnp.float32)
+
+    log("compiling 8-band fused step...")
+    t0 = time.time()
+    params, opt_state, total, _ = step(
+        params, opt_state, data, band_feats, trainer._band_resps_dev, idx,
+        key, active,
+    )
+    total.block_until_ready()
+    log(f"band-parallel compile+first: {time.time() - t0:.1f}s, "
+        f"losses={np.round(np.asarray(total), 2).tolist()}")
+
+    times = []
+    for _ in range(4):
+        t0 = time.time()
+        for _ in range(steps):
+            params, opt_state, total, _ = step(
+                params, opt_state, data, band_feats,
+                trainer._band_resps_dev, idx, key, active,
+            )
+        total.block_until_ready()
+        times.append((time.time() - t0) / steps)
+    dt = float(np.min(times))
+    log(f"band-parallel tpu step (all 8 bands): best {dt * 1e3:.1f} ms "
+        f"(median {np.median(times) * 1e3:.1f}) -> {1.0 / dt:.2f} steps/s")
+    return 1.0 / dt
+
+
+def bench_tpu_spatial_mlp(steps: int = 30):
+    """BASELINE config 4: Common-Slopes SH-MLP spatial-sampling train step.
+
+    Directional beamformer-weights MLP (3x128), 12 directions, 3 slopes,
+    batch 32, spatial EDC loss at fs 32k (reference:
+    spatial_sampling/trainer.py:94-192).
+    """
+    import jax
+
+    import optax
+
+    from diffgfdn_tpu.losses.spatial import (
+        make_decay_envelopes,
+        spatial_edc_loss,
+    )
+    from diffgfdn_tpu.models.spatial import (
+        directional_amplitudes,
+        DirectionalBeamformerWeightsMLP,
+    )
+
+    batch = 32
+    analysis, _ = _directional_setup()
+    rng = np.random.RandomState(0)
+    pos = rng.rand(batch, 3).astype(np.float32) * 4.0
+    target = rng.rand(batch, analysis.shape[0], NUM_GROUPS).astype(np.float32)
+    envelopes = make_decay_envelopes(np.asarray(T60S), int(max(T60S) * FS), FS)
+    model = DirectionalBeamformerWeightsMLP(
+        num_groups=NUM_GROUPS, ambi_order=2, num_fourier_features=10,
+        num_hidden_layers=3, num_neurons=128,
+    )
+    batch_dict = {
+        "listener_position": pos,
+        "norm_listener_position": pos / 4.0,
+        "target_common_slope_amps": target,
+    }
+    params = model.init(jax.random.PRNGKey(0), batch_dict)
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+    a_mat = np.asarray(analysis, np.float32)
+
+    def loss_fn(p, b):
+        amps = directional_amplitudes(a_mat, model.apply(p, b))
+        return spatial_edc_loss(amps, b["target_common_slope_amps"], envelopes)
+
+    @jax.jit
+    def step(p, o, b):
+        loss, grads = jax.value_and_grad(loss_fn)(p, b)
+        updates, o = optimizer.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    log("compiling spatial CS-MLP step...")
+    t0 = time.time()
+    params, opt_state, loss = step(params, opt_state, batch_dict)
+    loss.block_until_ready()
+    log(f"spatial compile+first: {time.time() - t0:.1f}s, "
+        f"loss={float(loss):.3f}")
+
+    times = []
+    for _ in range(4):
+        t0 = time.time()
+        for _ in range(steps):
+            params, opt_state, loss = step(params, opt_state, batch_dict)
+        loss.block_until_ready()
+        times.append((time.time() - t0) / steps)
+    dt = float(np.min(times))
+    log(f"spatial cs-mlp tpu step: best {dt * 1e3:.1f} ms "
+        f"(median {np.median(times) * 1e3:.1f}) -> {1.0 / dt:.2f} steps/s")
+    return 1.0 / dt
+
+
+def bench_torch_cpu_spatial(steps: int = 5):
+    """Equivalent eager torch-CPU CS-MLP spatial train step."""
+    import os
+
+    import torch
+
+    torch.manual_seed(0)
+    torch.set_num_threads(os.cpu_count())
+    batch = 32
+    analysis, _ = _directional_setup()
+    a_mat = torch.tensor(np.asarray(analysis, np.float32))
+    t_env = np.arange(int(max(T60S) * FS)) / FS
+    env = np.stack([np.exp(-t_env * np.log(1e6) / t60) for t60 in T60S])
+    env_t = torch.tensor(env, dtype=torch.float32)
+    rng = np.random.RandomState(0)
+    pos = torch.tensor(rng.rand(batch, 3).astype(np.float32))
+    target = torch.tensor(
+        rng.rand(batch, a_mat.shape[0], NUM_GROUPS).astype(np.float32)
+    )
+    freqs = torch.exp(torch.linspace(np.log(1.0), np.log(32.0), 10))
+    mlp = torch.nn.Sequential(
+        torch.nn.Linear(60, 128), torch.nn.LayerNorm(128), torch.nn.ReLU(),
+        torch.nn.Linear(128, 128), torch.nn.LayerNorm(128), torch.nn.ReLU(),
+        torch.nn.Linear(128, 128), torch.nn.LayerNorm(128), torch.nn.ReLU(),
+        torch.nn.Linear(128, 128), torch.nn.LayerNorm(128), torch.nn.ReLU(),
+        torch.nn.Linear(128, NUM_GROUPS * 9),
+    )
+    opt = torch.optim.Adam(mlp.parameters(), lr=1e-3)
+
+    def step():
+        opt.zero_grad()
+        phase = freqs[None, :, None] * np.pi * pos[:, None, :]
+        enc = torch.cat([torch.sin(phase), torch.cos(phase)], -1).reshape(
+            batch, -1
+        )
+        w = mlp(enc).reshape(batch, NUM_GROUPS, 9)
+        amps = torch.sigmoid(torch.einsum("jn,bkn->bjk", a_mat, w))
+        edc_p = torch.einsum("bjk,kt->bjt", amps, env_t ** 2)
+        edc_t = torch.einsum("bjk,kt->bjt", target, env_t ** 2)
+        loss = torch.mean(
+            torch.abs(
+                10 * torch.log10(edc_p + 1e-9)
+                - 10 * torch.log10(edc_t + 1e-9)
+            )
+        )
+        loss.backward()
+        opt.step()
+        return float(loss.detach())
+
+    step()
+    times = []
+    for _ in range(steps):
+        t0 = time.time()
+        step()
+        times.append(time.time() - t0)
+    dt = float(np.min(times))
+    log(f"torch cpu spatial step: best {dt * 1e3:.1f} ms -> "
+        f"{1.0 / dt:.2f} steps/s")
+    return 1.0 / dt
+
+
+def bench_binaural_render():
+    """BASELINE config 5: 6DoF moving-listener binaural render (host CPU).
+
+    Per-hop SH rotation + HRTF-SH beamforming + crossfaded overlap-add —
+    deliberately host-side (unbatchable per-hop control flow; reference:
+    sound_examples.py:356-539). Returns x-real-time.
+    """
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "binaural_bench",
+        Path(__file__).resolve().parent / "tools" / "binaural_bench.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.measure()
+
+
 def bench_torch_cpu_svf(steps: int = 2):
     """Equivalent eager PyTorch-CPU SVF-head train step (reference default).
 
@@ -564,50 +1033,90 @@ def bench_torch_cpu(steps: int = 3):
     return 1.0 / dt
 
 
+def _try(name, fn, *args, **kwargs):
+    try:
+        return fn(*args, **kwargs)
+    except Exception as e:  # noqa: BLE001
+        log(f"{name} bench failed:", repr(e))
+        return None
+
+
 def main():
+    # --- TPU measurements (all five BASELINE tracked configs) ---
     tpu_sps = bench_tpu()
+    svf_sps = _try("svf tpu", bench_tpu_svf)
+    xrt = _try("synthesis", bench_synthesis_tpu)
+    dir_sps = _try("directional tpu", bench_tpu_directional)
+    band_sps = _try("band-parallel tpu", bench_tpu_band_parallel)
+    spatial_sps = _try("spatial tpu", bench_tpu_spatial_mlp)
+    binaural_xrt = _try("binaural render", bench_binaural_render)
+
+    # --- torch-CPU baselines (the reference's eager formulation) ---
+    cpu_sps = _try("torch fullband", bench_torch_cpu)
+    cpu_svf_sps = (
+        _try("torch svf", bench_torch_cpu_svf) if svf_sps is not None else None
+    )
+    cpu_dir_sps = (
+        _try("torch directional", bench_torch_cpu_directional)
+        if dir_sps is not None
+        else None
+    )
+    cpu_spatial_sps = (
+        _try("torch spatial", bench_torch_cpu_spatial)
+        if spatial_sps is not None
+        else None
+    )
+
+    def ratio(a, b):
+        return None if a is None or b is None else round(a / b, 2)
+
     extra = []
-
-    try:
-        svf_sps = bench_tpu_svf()
-    except Exception as e:  # noqa: BLE001
-        log("svf tpu bench failed:", e)
-        svf_sps = None
-    try:
-        xrt = bench_synthesis_tpu()
-        extra.append(
-            {
-                "metric": "rir_synthesis_x_realtime",
-                "value": round(xrt, 0),
-                "unit": "x_realtime_2s_838rec_per_chip",
-                "vs_baseline": round(xrt / 1000.0, 2),  # >=1000x target
-            }
-        )
-    except Exception as e:  # noqa: BLE001
-        log("synthesis bench failed:", e)
-
-    try:
-        cpu_sps = bench_torch_cpu()
-        vs = tpu_sps / cpu_sps
-    except Exception as e:  # noqa: BLE001
-        log("torch baseline failed:", e)
-        vs = None
     if svf_sps is not None:
-        try:
-            cpu_svf_sps = bench_torch_cpu_svf()
-            svf_vs = svf_sps / cpu_svf_sps
-        except Exception as e:  # noqa: BLE001
-            log("torch svf baseline failed:", e)
-            svf_vs = None
-        extra.insert(
-            0,
-            {
-                "metric": "svf_head_train_steps_per_sec",
-                "value": round(svf_sps, 3),
-                "unit": "steps/sec",
-                "vs_baseline": None if svf_vs is None else round(svf_vs, 2),
-            },
-        )
+        extra.append({
+            "metric": "svf_head_train_steps_per_sec",
+            "value": round(svf_sps, 3),
+            "unit": "steps/sec",
+            "vs_baseline": ratio(svf_sps, cpu_svf_sps),
+        })
+    if dir_sps is not None:
+        extra.append({
+            "metric": "directional_train_steps_per_sec",
+            "value": round(dir_sps, 3),
+            "unit": "steps/sec_n27_coupled_12dir_batch16",
+            "vs_baseline": ratio(dir_sps, cpu_dir_sps),
+        })
+    if band_sps is not None:
+        # reference baseline: 8 sequential torch-CPU band jobs, each one
+        # full-band step of the same shape => cpu_sps / 8 all-band steps/s
+        extra.append({
+            "metric": "band_parallel_8band_steps_per_sec",
+            "value": round(band_sps, 3),
+            "unit": "all8band_steps/sec_one_chip",
+            "vs_baseline": (
+                None if cpu_sps is None else round(band_sps / (cpu_sps / 8), 2)
+            ),
+        })
+    if spatial_sps is not None:
+        extra.append({
+            "metric": "spatial_cs_mlp_train_steps_per_sec",
+            "value": round(spatial_sps, 3),
+            "unit": "steps/sec_12dir_batch32",
+            "vs_baseline": ratio(spatial_sps, cpu_spatial_sps),
+        })
+    if xrt is not None:
+        extra.append({
+            "metric": "rir_synthesis_x_realtime",
+            "value": round(xrt, 0),
+            "unit": "x_realtime_2s_838rec_per_chip",
+            "vs_baseline": round(xrt / 1000.0, 2),  # >=1000x target
+        })
+    if binaural_xrt is not None:
+        extra.append({
+            "metric": "binaural_render_x_realtime",
+            "value": round(binaural_xrt, 1),
+            "unit": "x_realtime_6dof_host_cpu",
+            "vs_baseline": round(binaural_xrt, 1),  # vs 1x real time
+        })
 
     print(
         json.dumps(
@@ -615,7 +1124,7 @@ def main():
                 "metric": "fullband_train_steps_per_sec",
                 "value": round(tpu_sps, 3),
                 "unit": "steps/sec",
-                "vs_baseline": None if vs is None else round(vs, 2),
+                "vs_baseline": ratio(tpu_sps, cpu_sps),
                 "extra_metrics": extra,
             }
         )

@@ -19,14 +19,13 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--fs", type=float, default=32000.0)
-    ap.add_argument("--rir-s", type=float, default=1.0)
-    ap.add_argument("--hops", type=int, default=30)
-    ap.add_argument("--update-ms", type=float, default=100.0)
-    args = ap.parse_args()
-
+def measure(
+    fs: float = 32000.0,
+    rir_s: float = 1.0,
+    hops: int = 30,
+    update_ms: float = 100.0,
+) -> float:
+    """Run the 6DoF binaural render benchmark; returns x-real-time."""
     import tempfile
 
     from diffgfdn_tpu.data.spatial_dataset import (
@@ -34,12 +33,11 @@ def main():
         SpatialThreeRoomDataset,
     )
     from diffgfdn_tpu.inference import BinauralDynamicRendering
-    from diffgfdn_tpu.ops.sph import sh_matrix, t_design_directions
 
     with tempfile.TemporaryDirectory() as tmp:
         path = generate_spatial_three_room_pickle(
-            Path(tmp) / "s.pkl", fs=args.fs, grid_spacing_m=1.2,
-            rir_len_s=args.rir_s, decay_times=(0.4, 0.8, 0.6),
+            Path(tmp) / "s.pkl", fs=fs, grid_spacing_m=1.2,
+            rir_len_s=rir_s, decay_times=(0.4, 0.8, 0.6),
         )
         room = SpatialThreeRoomDataset(path)
 
@@ -52,15 +50,14 @@ def main():
             rng.randn(n_sh, 2, hrir_len) * np.exp(-t / 64.0)[None, None, :]
         ).astype(np.float64)
 
-        hops = args.hops
         pos = np.tile(room.receiver_position[:4], (hops // 4 + 1, 1))[:hops]
         oris = np.stack(
             [np.linspace(0, 2 * np.pi, hops), np.zeros(hops)], axis=-1
         )
-        stim = rng.randn(int(args.fs)).astype(np.float32)
+        stim = rng.randn(int(fs)).astype(np.float32)
 
         rend = BinauralDynamicRendering(
-            room, pos, oris, stim, hrir_sh, update_ms=args.update_ms,
+            room, pos, oris, stim, hrir_sh, update_ms=update_ms,
             use_whole_rir=True,
         )
         # warm caches (rfft plans etc.)
@@ -68,14 +65,25 @@ def main():
         t0 = time.time()
         out = rend.binaural_filter_overlap_add()
         wall = time.time() - t0
-        audio_s = rend.total_sim_len / args.fs
+        audio_s = rend.total_sim_len / fs
         print(
             f"binaural 6DoF render: {audio_s:.1f}s of audio "
-            f"({hops} hops, {args.rir_s:.1f}s order-2 SRIRs @ {args.fs:.0f} Hz) "
+            f"({hops} hops, {rir_s:.1f}s order-2 SRIRs @ {fs:.0f} Hz) "
             f"in {wall:.2f}s -> {audio_s / wall:.1f}x real time (host CPU, "
             f"1 core)"
         )
         assert np.isfinite(out).all()
+        return audio_s / wall
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fs", type=float, default=32000.0)
+    ap.add_argument("--rir-s", type=float, default=1.0)
+    ap.add_argument("--hops", type=int, default=30)
+    ap.add_argument("--update-ms", type=float, default=100.0)
+    args = ap.parse_args()
+    measure(args.fs, args.rir_s, args.hops, args.update_ms)
 
 
 if __name__ == "__main__":
