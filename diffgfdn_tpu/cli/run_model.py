@@ -25,6 +25,11 @@ def main(argv=None):
         help="continue an interrupted grid-training run from the newest "
         "checkpoint (params + optimizer state)",
     )
+    parser.add_argument(
+        "--freq-parallel", choices=("auto", "on", "off"), default="auto",
+        help="single-position fits: shard the rFFT bin axis over all "
+        "visible devices (auto = on iff more than one device)",
+    )
     args = parser.parse_args(argv)
     if args.resume and args.wipe_train_dir:
         parser.error("--resume and --wipe-train-dir are mutually exclusive")
@@ -53,6 +58,10 @@ def main(argv=None):
             parser.error(
                 "--resume is not supported for single-position fits "
                 "(they train in seconds from scratch)"
+            )
+        if args.freq_parallel != "auto":
+            config.trainer_config.use_freq_parallel = (
+                args.freq_parallel == "on"
             )
         run_training_single_pos(config)
     elif config.ambi_order is not None:

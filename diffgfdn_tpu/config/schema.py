@@ -139,6 +139,10 @@ class TrainerConfig(BaseModel):
     use_edc_mask: bool = False
     use_frequency_weighting: bool = False
     subband_process_config: Optional[SubbandProcessingConfig] = None
+    # single-position fits: shard the rFFT bin axis over all visible
+    # devices (parallel/freq_parallel.py). None = auto (on iff >1 device),
+    # True = require (warns + falls back on one device), False = off.
+    use_freq_parallel: Optional[bool] = None
     train_dir: str = "output/tpu/"
     ir_dir: str = "audio/tpu/"
     save_true_irs: bool = False

@@ -36,15 +36,25 @@ def make_freq_sharded_step(
     # so inputs arrive replicated and the bin axis is sharded INSIDE the
     # program via with_sharding_constraint (GSPMD pads non-divisible axes)
     zsh = NamedSharding(mesh, P(freq_axis))
-    fsh = NamedSharding(mesh, P(None, freq_axis))
 
     def constrain(batch: Dict) -> Dict:
+        num_bins = batch["z_values"].shape[0]
         out = {}
         for k, v in batch.items():
             if k == "z_values":
                 out[k] = jax.lax.with_sharding_constraint(v, zsh)
-            elif isinstance(v, jnp.ndarray) and v.ndim == 2 and jnp.iscomplexobj(v):
-                out[k] = jax.lax.with_sharding_constraint(v, fsh)
+            elif (
+                isinstance(v, jnp.ndarray)
+                and jnp.iscomplexobj(v)
+                and v.ndim >= 1
+                and v.shape[-1] == num_bins
+            ):
+                # target spectra: (F,) single-pos or (B, F) batched — the
+                # bin axis is always last
+                spec = P(*([None] * (v.ndim - 1) + [freq_axis]))
+                out[k] = jax.lax.with_sharding_constraint(
+                    v, NamedSharding(mesh, spec)
+                )
             else:
                 out[k] = v
         return out

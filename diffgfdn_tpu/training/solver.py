@@ -271,10 +271,46 @@ def parse_position_from_filename(path) -> Optional[np.ndarray]:
     return np.array([float(g) for g in m.groups()], np.float32)
 
 
+def _resolve_freq_mesh(config: DiffGFDNConfig, devices=None):
+    """Mesh for frequency-axis sharding of single-pos fits, or None.
+
+    ``use_freq_parallel``: None = auto (shard iff >1 device visible),
+    True = require (warn + fall back unsharded on one device), False = off.
+    Resolution is host-side at solver time — the placement contract
+    (utils/placement.py): the caller's devices decide, never
+    ``jax.default_backend()``.
+    """
+    use = config.trainer_config.use_freq_parallel
+    if use is False:
+        return None
+    devs = list(devices) if devices is not None else jax.devices()
+    if len(devs) <= 1:
+        if use:
+            logger.warning(
+                "use_freq_parallel=true but only one device is visible; "
+                "training unsharded"
+            )
+        return None
+    from ..parallel.mesh import make_mesh
+
+    logger.info(
+        "single-pos fit: sharding the rFFT bin axis over %d devices",
+        len(devs),
+    )
+    return make_mesh(1, devices=devs)
+
+
 def run_training_single_pos(
-    config: DiffGFDNConfig, rir_data: Optional[RIRData] = None
+    config: DiffGFDNConfig,
+    rir_data: Optional[RIRData] = None,
+    devices=None,
 ) -> Tuple[SinglePosGFDNTrainer, Dict]:
-    """Single-RIR fit: whole-spectrum batches (solver.py:459-552)."""
+    """Single-RIR fit: whole-spectrum batches (solver.py:459-552).
+
+    ``devices``: the devices to run on (default: all visible). With more
+    than one, the 65k-bin frequency axis shards across them
+    (``trainer_config.use_freq_parallel``, default auto).
+    """
     if rir_data is None:
         rir_data = RIRData.from_wav(
             config.ir_path,
@@ -288,12 +324,17 @@ def run_training_single_pos(
             config, rir_data.num_freq_bins // 16
         )
 
+    freq_mesh = _resolve_freq_mesh(config, devices)
+    mesh_devices = (
+        list(freq_mesh.devices.flat) if freq_mesh is not None else devices
+    )
     model = build_gfdn_model(
         config,
         common_decay_times=rir_data.common_decay_times,
         band_centre_hz=rir_data.band_centre_hz,
         colorless_params=colorless_params,
         variant="single_pos",
+        devices=mesh_devices,
     )
     tc = config.trainer_config
     radius = 1.0 if tc.reduced_pole_radius == 1.0 else 1.0 / tc.reduced_pole_radius
@@ -322,6 +363,7 @@ def run_training_single_pos(
         common_decay_times=rir_data.common_decay_times,
         subband_filter_resp=_subband_resp(config),
         sample_rate=config.sample_rate,
+        freq_mesh=freq_mesh,
     )
     params = init_with_batch(model, jax.random.PRNGKey(config.seed), batch)
     params = trainer.fit(params, train_batches, seed=config.seed)

@@ -657,9 +657,48 @@ class GFDNTrainer:
 
 
 class SinglePosGFDNTrainer(GFDNTrainer):
-    """Single-RIR fit: one full-spectrum batch, tighter early stopping."""
+    """Single-RIR fit: one full-spectrum batch, tighter early stopping.
+
+    ``freq_mesh``: a device mesh to shard the rFFT bin axis over (the
+    single-pos batch is the whole unit circle — the reference forces
+    full-circle batches, solver.py:459-552 — so frequency is the only
+    parallelizable axis). ``None`` trains unsharded on one device.
+    """
 
     early_stop_tol = 1e-4
+
+    def __init__(self, *args, freq_mesh=None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.freq_mesh = freq_mesh
+        self.used_freq_parallel = False
+
+    def _make_fit_step(self):
+        """The per-epoch optimizer step: frequency-sharded when a mesh with
+        more than one device was supplied, the plain jitted step otherwise.
+        Returns ``run(params, opt_state, raw_batch, key)``."""
+        if (
+            self.freq_mesh is not None
+            and int(np.prod(self.freq_mesh.devices.shape)) > 1
+        ):
+            from ..parallel.freq_parallel import make_freq_sharded_step
+
+            def loss_fn(params, batch, key):
+                all_losses = self._losses(params, batch, key)
+                return sum(all_losses.values()), all_losses
+
+            self.used_freq_parallel = True
+            logger.info(
+                "single-pos fit: frequency axis sharded over %d devices",
+                int(np.prod(self.freq_mesh.devices.shape)),
+            )
+            return make_freq_sharded_step(
+                self.model, loss_fn, self.optimizer, self.freq_mesh
+            )
+
+        def run(params, opt_state, batch, key):
+            return self._train_step(params, opt_state, encode_batch(batch), key)
+
+        return run
 
     def _normalize_params(self, params, enc_batch):
         """Match the FDN's average energy to the target's.
@@ -688,6 +727,7 @@ class SinglePosGFDNTrainer(GFDNTrainer):
         self.optimizer = make_optimizer(self.cfg, params, 1)
         opt_state = self.optimizer.init(params)
         key = jax.random.PRNGKey(seed)
+        step = self._make_fit_step()
 
         first = next(iter(train_batches(0)))
         params = self._normalize(params, encode_batch(first))
@@ -696,8 +736,8 @@ class SinglePosGFDNTrainer(GFDNTrainer):
         for epoch in range(self.cfg.max_epochs):
             for batch in train_batches(epoch):
                 key, sub = jax.random.split(key)
-                params, opt_state, total, aux = self._train_step(
-                    params, opt_state, encode_batch(batch), sub
+                params, opt_state, total, aux = step(
+                    params, opt_state, batch, sub
                 )
             self.train_loss.append(float(total))
             self.individual_train_loss.append(

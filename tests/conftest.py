@@ -61,6 +61,8 @@ SLOW_TESTS = {
     "test_filter_coupling_paraunitary_loop",
     "test_var_receiver_pos_svf_forward",
     "test_sample_rate_mismatch_raises",
+    "test_walkthrough_end_to_end",
+    "test_single_pos_cli_auto_freq_parallel",
 }
 
 

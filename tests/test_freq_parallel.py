@@ -62,3 +62,70 @@ def test_freq_sharded_single_pos_step():
         lambda p, b, k: loss_fn(p, decode_batch(b), k)
     )(params, encode_batch(batch), jax.random.PRNGKey(1))
     assert abs(float(total) - float(total_ref)) < 1e-3
+
+
+def test_single_pos_cli_auto_freq_parallel(tmp_path, caplog):
+    """The run_model CLI single-pos path auto-shards the bin axis on the
+    8-device mesh (trainer_config.use_freq_parallel default auto)."""
+    import logging
+
+    from scipy.io import loadmat
+
+    from diffgfdn_tpu.data.audio import write_wav
+
+    fs = 8000.0
+    nfft = 1024
+    rng = np.random.RandomState(3)
+    t = np.arange(nfft) / fs
+    rir = (rng.randn(nfft) * np.exp(-t * 40.0)).astype(np.float32)
+    wav = tmp_path / "ir_(1.00, 2.00, 1.50).wav"
+    write_wav(wav, rir, fs)
+
+    cfg_yaml = f"""
+seed: 5
+ir_path: {wav}
+num_groups: 3
+sample_rate: {fs}
+num_delay_lines: 6
+delay_range_ms: [20, 29]
+trainer_config:
+  batch_size: 1
+  num_freq_bins: {nfft}
+  max_epochs: 2
+  lr: 1.0e-3
+  train_dir: {tmp_path / 'train'}
+output_filter_config:
+  use_svfs: false
+  num_hidden_layers: 1
+  num_neurons_per_layer: 8
+  num_fourier_features: 2
+decay_filter_config:
+  use_absorption_filters: false
+colorless_fdn_config:
+  use_colorless_prototype: false
+"""
+    cfg_path = tmp_path / "cfg.yml"
+    cfg_path.write_text(cfg_yaml)
+
+    from diffgfdn_tpu.cli.run_model import main
+
+    with caplog.at_level(logging.INFO, logger="diffgfdn_tpu"):
+        main(["-c", str(cfg_path)])
+    assert any(
+        "sharding the rFFT bin axis over 8 devices" in r.message
+        for r in caplog.records
+    )
+    assert any(
+        "frequency axis sharded over 8 devices" in r.message
+        for r in caplog.records
+    )
+    losses = loadmat(str(tmp_path / "train" / "losses.mat"))
+    assert np.isfinite(np.asarray(losses["train_loss"])).all()
+
+    # --freq-parallel off trains unsharded through the same CLI
+    caplog.clear()
+    with caplog.at_level(logging.INFO, logger="diffgfdn_tpu"):
+        main(["-c", str(cfg_path), "--freq-parallel", "off"])
+    assert not any(
+        "sharding the rFFT bin axis" in r.message for r in caplog.records
+    )
