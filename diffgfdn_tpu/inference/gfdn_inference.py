@@ -226,10 +226,32 @@ class InferDiffGFDN:
     ):
         self.config = config
         self.room_data = room_data
+        # rebuild EXACTLY as the solver built it: a colorless warm start
+        # fixes the io gains (they are constants, not checkpoint params),
+        # so the prototype results must be reloaded or the checkpoint
+        # cannot be applied (reference: inference.py rebuilds through the
+        # same config path)
+        colorless_params = None
+        ccfg = config.colorless_fdn_config
+        if ccfg.use_colorless_prototype:
+            from ..training.build import load_colorless_fdn_params
+            from ..training.solver import run_training_colorless_fdn
+
+            if ccfg.load_fixed_parameters:
+                colorless_params = load_colorless_fdn_params(
+                    config, ccfg.saved_param_path
+                )
+            else:
+                # loads the per-group pickles cached during training
+                # (train_dir/colorless-fdn/); only retrains if missing
+                colorless_params = run_training_colorless_fdn(
+                    config, room_data.num_freq_bins // 16
+                )
         self.model = build_gfdn_model(
             config,
             common_decay_times=room_data.common_decay_times,
             band_centre_hz=room_data.band_centre_hz,
+            colorless_params=colorless_params,
             variant=variant,
             inference_solve=True,
         )
