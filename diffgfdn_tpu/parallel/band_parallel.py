@@ -34,6 +34,23 @@ from ..utils.cio import decode_batch, encode_batch
 from .mesh import band_sharding, batch_sharding, make_mesh, replicated
 
 
+def _mesh_needs_cpu_fft_workaround(mesh) -> bool:
+    """True iff the mesh hits XLA:CPU's fft-thunk layout RET_CHECK.
+
+    The failing condition (reproduced + dissected via --xla_dump_to): on a
+    multi-device CPU mesh, GSPMD computes ffts fully replicated and layout
+    assignment lets consumer preferences assign the fft node a batch-major
+    operand layout, which the CPU fft thunk rejects
+    (LayoutUtil::IsMonotonicWithDim0Major). TPU meshes have no such thunk
+    check and keep the bandwidth-optimal shardings.
+    """
+    return (
+        mesh is not None
+        and int(np.prod(mesh.devices.shape)) > 1
+        and any(d.platform == "cpu" for d in mesh.devices.flat)
+    )
+
+
 def make_band_loss_fn(
     model,
     cfg: TrainerConfig,
@@ -41,12 +58,23 @@ def make_band_loss_fn(
     max_ir_len_ms: float,
     edr_win: int,
     edr_hop: int,
+    mesh=None,
 ) -> Callable:
     """Single-band loss: EDC + EDR on the band-filtered response, plus the
     colorless spectral/sparsity pair when the model trains with it
-    (parity with GFDNTrainer._losses / reference trainer.py:56-110)."""
+    (parity with GFDNTrainer._losses / reference trainer.py:56-110).
+
+    ``mesh``: the (band, batch) mesh the vmapped loss will run on — used to
+    pin the achieved response batch-sharded around the loss irfft (see
+    below); ``None`` or a single-device mesh adds no constraints.
+    """
     mixing = ms_to_samps(20.0, sample_rate)
     max_len = ms_to_samps(max_ir_len_ms, sample_rate)
+    repl_spec = None
+    if _mesh_needs_cpu_fft_workaround(mesh):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl_spec = NamedSharding(mesh, P())
 
     def loss_fn(params, batch, band_resp, key):
         # band_resp arrives re/im stacked (F, 2): complex buffers can't
@@ -66,11 +94,20 @@ def make_band_loss_fn(
             from ..losses.gfdn import edc_loss_from_rir, edr_loss_from_rir
 
             n = 2 * (h.shape[-1] - 1)
+            # GSPMD computes every fft fully replicated (this partitioner
+            # has no sharded-fft rule), and the COMPLEX all-gather it
+            # inserts before the fft carries a batch-major output layout
+            # that XLA:CPU's fft thunk rejects (dim0-major RET_CHECK).
+            # Real all-gathers get default layouts — so replicate the re/im
+            # planes explicitly and complexify AFTER the gather: the fft
+            # then reads an elementwise result with a default layout.
+            if repl_spec is not None:
+                hr = jax.lax.with_sharding_constraint(jnp.real(h), repl_spec)
+                hi = jax.lax.with_sharding_constraint(jnp.imag(h), repl_spec)
+                h = (hr + 1j * hi).astype(jnp.complex64)
             rir = jnp.fft.irfft(h, n, axis=-1)
-            # materialization barrier AFTER the fft: the precomputed-
-            # feature comparisons otherwise push a transposed operand
-            # layout back into the fft op, which XLA:CPU's fft thunk
-            # rejects (dim0-major RET_CHECK) on the virtual test mesh
+            # barrier: keep the feature comparisons from pushing a
+            # transposed layout back into the fft result
             rir = jax.lax.optimization_barrier(rir)
             end = min(max_len, h.shape[-1])
             l_edc = cfg.edc_loss_weight * edc_loss_from_rir(
@@ -162,7 +199,8 @@ class BandParallelTrainer:
         self._mixing = ms_to_samps(20.0, model.sample_rate)
         self._max_len = ms_to_samps(max_ir_len_ms, model.sample_rate)
         loss_fn = make_band_loss_fn(
-            model, cfg, model.sample_rate, max_ir_len_ms, edr_win, edr_win // 2
+            model, cfg, model.sample_rate, max_ir_len_ms, edr_win,
+            edr_win // 2, mesh=self.mesh,
         )
         self._make_optimizer = lambda params: make_optimizer(
             cfg, params, steps_per_epoch
@@ -334,22 +372,15 @@ class BandParallelTrainer:
         gathered per batch inside the jitted step. Mirrors
         GFDNTrainer.precompute_target_features.
 
-        No-op on multi-device CPU meshes (the virtual test mesh): XLA:CPU's
-        fft thunk rejects the operand layouts GSPMD assigns around the
-        feature comparisons (dim0-major RET_CHECK); single-device CPU and
-        TPU meshes take the fast path. ``force=True`` overrides the guard.
+        Runs on every mesh, including multi-device CPU (``force`` is kept
+        for API compatibility, now a no-op): the XLA:CPU fft-layout
+        RET_CHECK this path used to trip is sidestepped in the loss — the
+        response replicates via REAL re/im all-gathers before the fft and
+        the gathered features arrive replicated, so no consumer pushes a
+        batch-major layout into the fft node (see make_band_loss_fn /
+        _gather_feats).
         """
-        n_dev = int(np.prod(self.mesh.devices.shape))
-        platforms = {d.platform for d in self.mesh.devices.flat}
-        if not force and n_dev > 1 and "cpu" in platforms:
-            import logging
-
-            logging.getLogger("diffgfdn_tpu").info(
-                "skipping band target-feature precompute on a multi-device "
-                "%s mesh (XLA:CPU partitioned-fft layout limitation)",
-                "/".join(sorted(platforms)),
-            )
-            return
+        del force  # previously gated multi-device CPU meshes; fixed
         from ..ops.basic import db as db_fn
         from ..ops.basic import schroeder_backward_int
         from ..ops.stft import edr_from_stft, stft as stft_fn
@@ -404,14 +435,23 @@ class BandParallelTrainer:
         }
 
     def _gather_feats(self, band_feats: Dict, idx) -> Dict:
-        # keep the gathered features (band, batch, ...)-sharded: replicated
-        # features pull the achieved response replicated via an all-gather
-        # whose output layout XLA:CPU's fft thunk rejects (dim0-major
-        # RET_CHECK); sharded like the rest of the batch, the loss stays
-        # partitioned exactly as the slow path does
+        # CPU meshes: gathered features arrive REPLICATED — XLA:CPU's
+        # partitioner computes every fft fully replicated, so batch-sharded
+        # features would make the comparisons reshard the replicated irfft
+        # output with dynamic-slices whose layout preference propagates
+        # INTO the fft node, and the CPU fft thunk RET_CHECKs the
+        # batch-major operand. Replicated features keep every consumer of
+        # the fft result elementwise and default-layout (the per-batch
+        # gather is small; the band-sharded STORAGE is untouched).
+        # TPU meshes keep the (band, batch) sharding.
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        fsh = NamedSharding(self.mesh, P("band", "batch"))
+        spec = (
+            P()
+            if _mesh_needs_cpu_fft_workaround(self.mesh)
+            else P("band", "batch")
+        )
+        fsh = NamedSharding(self.mesh, spec)
         return {
             k: jax.lax.with_sharding_constraint(v[:, idx], fsh)
             for k, v in band_feats.items()

@@ -273,10 +273,9 @@ def test_precomputed_band_features_match_slow_path(dataset, tmp_path):
         max_ir_len_ms=60.0,
     )
     example = next(iter(iterate_batches(arrays, np.arange(8), 8, shuffle=False)))
-    params, _ = trainer.init(example, seeds=[1, 2])
-    # force: the virtual multi-device CPU mesh is gated off the fast path,
-    # but the unjitted vmapped loss below runs single-device
-    trainer.precompute_band_target_features(arrays, force=True)
+    params, opt_state = trainer.init(example, seeds=[1, 2])
+    trainer.precompute_band_target_features(arrays)
+    assert trainer._band_feats is not None  # no multi-device gate anymore
 
     enc = encode_batch(example)
     key = jax.random.PRNGKey(0)
@@ -286,6 +285,26 @@ def test_precomputed_band_features_match_slow_path(dataset, tmp_path):
     fast = trainer._vstepped(params, enc, feats, trainer._band_resps_dev, key)[0]
     np.testing.assert_allclose(
         np.asarray(fast), np.asarray(slow), rtol=2e-3, atol=1e-4
+    )
+
+    # the JITTED fast path on the multi-device mesh (the configuration that
+    # used to trip XLA:CPU's fft-layout RET_CHECK) agrees with the slow path
+    data = trainer.upload_arrays(arrays)
+    step = jax.jit(trainer._make_indexed_step())
+    active = jnp.ones(trainer.num_bands, jnp.float32)
+    _, _, fast_jit, _ = step(
+        params, opt_state, data, trainer._band_feats,
+        trainer._band_resps_dev, jnp.asarray(idx, jnp.int32), key, active,
+    )
+    trainer._band_feats = None
+    data_slow = trainer.upload_arrays(arrays)
+    params2, opt2 = trainer.init(example, seeds=[1, 2])
+    _, _, slow_jit, _ = step(
+        params2, opt2, data_slow, {}, trainer._band_resps_dev,
+        jnp.asarray(idx, jnp.int32), key, active,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast_jit), np.asarray(slow_jit), rtol=2e-3, atol=1e-4
     )
 
 
