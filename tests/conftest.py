@@ -63,6 +63,26 @@ SLOW_TESTS = {
     "test_sample_rate_mismatch_raises",
     "test_walkthrough_end_to_end",
     "test_single_pos_cli_auto_freq_parallel",
+    # round-3 quick-subset budget cut (< 3 min): integration-grade tests
+    # whose assertions the full suite (-m '') still runs
+    "test_precomputed_band_features_jitted_multidevice",
+    "test_precomputed_features_fit_on_single_device_mesh",
+    "test_rirs_with_direct_cs_amplitudes",
+    "test_save_true_irs_option",
+    "test_rirs_with_amplitudes_colorless_model_and_validation",
+    "test_amplitude_injection_reproduces_head_outputs",
+    "test_update_masking_freezes_stopped_bands",
+    "test_colorless_fdn_training_reduces_loss",
+    "test_pallas_sos_gradients_match_xla",
+    "test_time_domain_synthesis_filter_coupling_scalar_gains",
+    "test_time_domain_synthesis_directional_matches_freq_path",
+    "test_group_pooled_transfer_function_matches_generic",
+    "test_trained_model_spatial_inference",
+    "test_var_receiver_scalar_fast_path_matches_general",
+    "test_pallas_cinv_gradient_via_custom_vjp",
+    "test_pallas_cinv_needs_pivoting",
+    "test_directional_mlp_training_improves",
+    "test_gradients_finite_with_zero_b0_section",
 }
 
 

@@ -287,8 +287,49 @@ def test_precomputed_band_features_match_slow_path(dataset, tmp_path):
         np.asarray(fast), np.asarray(slow), rtol=2e-3, atol=1e-4
     )
 
-    # the JITTED fast path on the multi-device mesh (the configuration that
-    # used to trip XLA:CPU's fft-layout RET_CHECK) agrees with the slow path
+
+def test_precomputed_band_features_jitted_multidevice(dataset, tmp_path):
+    """The JITTED fast path on the multi-device mesh — the configuration
+    that used to trip XLA:CPU's fft-layout RET_CHECK — agrees with the
+    slow path."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffgfdn_tpu.cli.run_subband_training import create_config
+    from diffgfdn_tpu.data.batching import (
+        arrays_from_room_dataset,
+        iterate_batches,
+    )
+    from diffgfdn_tpu.data.room_dataset import ThreeRoomDataset
+    from diffgfdn_tpu.ops.filterbanks import subband_filter_response
+    from diffgfdn_tpu.parallel import BandParallelTrainer
+    from diffgfdn_tpu.training.build import build_gfdn_model
+
+    cfg = create_config(
+        500.0, dataset, str(tmp_path / "pf"), num_freq_bins=512,
+        sample_rate=8000.0, max_epochs=1, batch_size=8,
+        use_colorless_loss=False,
+    )
+    room = ThreeRoomDataset(dataset, nfft=512)
+    arrays = arrays_from_room_dataset(room)
+    model = build_gfdn_model(
+        cfg, common_decay_times=room.common_decay_times,
+        band_centre_hz=room.band_centre_hz,
+    )
+    resps = np.stack([
+        subband_filter_response(f, (63.0, 4000.0), 1, 8000.0, 512)
+        for f in (500.0, 1000.0)
+    ])
+    trainer = BandParallelTrainer(
+        model, cfg.trainer_config, resps, steps_per_epoch=1,
+        max_ir_len_ms=60.0,
+    )
+    example = next(iter(iterate_batches(arrays, np.arange(8), 8, shuffle=False)))
+    params, opt_state = trainer.init(example, seeds=[1, 2])
+    trainer.precompute_band_target_features(arrays)
+    assert trainer._band_feats is not None  # no multi-device gate anymore
+    key = jax.random.PRNGKey(0)
+    idx = jnp.arange(8)
     data = trainer.upload_arrays(arrays)
     step = jax.jit(trainer._make_indexed_step())
     active = jnp.ones(trainer.num_bands, jnp.float32)
