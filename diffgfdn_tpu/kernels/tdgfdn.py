@@ -15,15 +15,20 @@ which the MXU/VPU chew through. The result is EXACT (not an approximation).
 
 Two implementations:
 * :func:`time_domain_gfdn` — lax.scan over blocks (pure XLA);
-* :func:`delay_line_outputs_pallas` — a single Pallas program that keeps the
-  delay-line history and outputs resident in VMEM across all blocks
-  (~(T + m_max) * N * 2 floats — a few MB), avoiding per-block HBM traffic.
-  NOTE: this environment's remote Mosaic compiler crashes on the kernel's
-  windowed-slice pattern (verified: minimal kernels and scratch+fori_loop
-  compile fine; non-uniform per-row slicing does not). The kernel is
-  validated in interpret mode and kept for TPU stacks with a full Mosaic
-  toolchain; the XLA scan path is the production default (6 ms / 2 s RIR,
-  ~259,000x real time for an 838-receiver batch on one v5e chip).
+* :func:`delay_line_outputs_pallas` — a Pallas grid over blocks with a
+  SHIFTING delay-line history held in VMEM scratch. The formulation was
+  reached by probing the Mosaic compiler (round 3): dynamic-start vector
+  stores ("cannot statically prove index in bounds") and stacks of
+  lane-misaligned row slices ("tpu.concatenate offset mismatch") are
+  rejected — so EVERY index here is static: the history lives at a fixed
+  position (store block at the tail, shift left by one block), each line's
+  delayed read is a static 0/1 SELECTION MATMUL on one shared window (the
+  output's lane offset is always 0, so the row stack concatenates), and
+  the per-block output is written through the grid BlockSpec. COMPILES on
+  this stack and runs at XLA-scan speed with f32-exact accuracy:
+  2 s / 12-line flagship = 7.9 ms, |err| vs float64 = 2.4e-8 with
+  precision=HIGHEST dots (the scan path's default-precision matmuls
+  accumulate ~7e-4).
 
 Per-position RIRs then follow as one big matmul Y @ C^T over the batch of
 output-gain vectors.
@@ -91,7 +96,14 @@ def delay_line_outputs(
             in_axes=(1, 0), out_axes=1,
         )(x_hist, offsets) * g[None, :]
         u_blk = lax.dynamic_slice(u, (start,), (L,))
-        x_blk = y_blk @ a_t + u_blk[:, None] * b[None, :]
+        # HIGHEST: rounding feeds back through the recursion — the default
+        # bf16 matmul accumulates ~7e-4 abs error over a 2 s tail (measured
+        # vs float64); full-f32 is exact to ~2e-8 and the (L, N) x (N, N)
+        # matmul is negligible next to the gathers
+        x_blk = (
+            jnp.matmul(y_blk, a_t, precision=jax.lax.Precision.HIGHEST)
+            + u_blk[:, None] * b[None, :]
+        )
         x_hist = lax.dynamic_update_slice(x_hist, x_blk, (start + m_max, 0))
         return x_hist, y_blk
 
@@ -125,47 +137,71 @@ def time_domain_gfdn(
 
 # ------------------------------- Pallas kernel -------------------------------
 
+# VMEM budget for the static selection tensor (N, spread+block, block); the
+# block size shrinks until it fits (Mosaic scoped-vmem OOMs around ~20 MB
+# of stack-resident constants on this stack — 26.6 MB failed, 10.1 MB ran)
+_SEL_VMEM_BUDGET_BYTES = 12 * 2 ** 20
+
+
+def _pallas_block_size(delays: Tuple[int, ...]) -> int:
+    """Largest block (<= min delay, <= 256) whose selection tensor fits."""
+    n = len(delays)
+    spread = int(max(delays)) - int(min(delays))
+    block = min(_block_size(delays), 256)
+    while block > 8 and n * (spread + block) * block * 4 > _SEL_VMEM_BUDGET_BYTES:
+        block //= 2
+    return block
+
 
 def _tdgfdn_kernel(
-    u_ref,        # (1, T_pad) input signal
+    u_ref,        # (1, block) input block (grid-sliced)
     g_ref,        # (N, 1) whole-delay gains
     a_ref,        # (N, N) feedback matrix
     b_ref,        # (N, 1) input gains
-    y_ref,        # out: (N, T_pad) delay-line outputs
-    x_hist,       # scratch: (N, T_pad + m_max) delay-line input history
+    sel_ref,      # (N, spread+block, block) static 0/1 de-offset selectors
+    y_ref,        # out: (N, block) delay-line outputs (grid-sliced)
+    hist,         # scratch: (N, m_max + block) shifting history
     *,
-    n_blocks: int,
     block: int,
     m_max: int,
-    offsets: Tuple[int, ...],  # static per-line read offsets (m_max - m_i)
+    spread: int,
+    n_lines: int,
 ):
-    # layout: time on the lane axis (last, 128-wide), lines on sublanes —
-    # a (T, N) layout would pad N=12 up to 128 lanes and blow out VMEM.
-    # Reads: ONE aligned dynamic window per block (traced start only), then
-    # per-line STATIC slices of the loaded value — the Mosaic compiler here
-    # rejects per-row dynamic slices with non-uniform offsets.
-    x_hist[...] = jnp.zeros_like(x_hist)
-    n_lines = len(offsets)
-    spread = max(offsets)
+    # Mosaic constraints (probed, see module notes): no dynamic-start
+    # stores, no concatenation of lane-misaligned slices. Everything here
+    # is static: hist[:, j] = x[t0 - m_max + j]; line i's delayed block is
+    # win @ sel[i] (an MXU matmul whose result is always lane-offset 0);
+    # the new block lands at the FIXED tail and the history shifts left.
+    i = pl.program_id(0)
 
-    def body(blk, _):
-        start = blk * block
-        win = x_hist[:, pl.ds(start, block + spread)]  # (N, block+spread)
-        rows = [
-            lax.slice(win[i], (offsets[i],), (offsets[i] + block,))
-            for i in range(n_lines)  # static unroll, static slice bounds
-        ]
-        y_blk = jnp.stack(rows, axis=0) * g_ref[...]  # (N, block)
-        u_blk = u_ref[0, pl.ds(start, block)]
-        x_blk = (
-            jnp.dot(a_ref[...], y_blk, preferred_element_type=jnp.float32)
-            + b_ref[...] * u_blk[None, :]
+    @pl.when(i == 0)
+    def _init():
+        hist[...] = jnp.zeros_like(hist)
+
+    win = hist[:, : spread + block]  # static read, offset 0
+    rows = [
+        jnp.dot(
+            win[k : k + 1, :],
+            sel_ref[k],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )[0]
+        for k in range(n_lines)
+    ]
+    y_blk = jnp.stack(rows, axis=0) * g_ref[...]  # (N, block)
+    x_blk = (
+        jnp.dot(
+            a_ref[...],
+            y_blk,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
-        x_hist[:, pl.ds(start + m_max, block)] = x_blk
-        y_ref[:, pl.ds(start, block)] = y_blk
-        return 0
-
-    lax.fori_loop(0, n_blocks, body, 0)
+        + b_ref[...] * u_ref[...]
+    )
+    # store x[t0 .. t0+block) at the tail (old frame), THEN shift left
+    hist[:, m_max:] = x_blk
+    hist[:, :m_max] = lax.slice(hist[...], (0, block), (n_lines, m_max + block))
+    y_ref[...] = y_blk
 
 
 def delay_line_outputs_pallas(
@@ -176,10 +212,12 @@ def delay_line_outputs_pallas(
     input_signal: jnp.ndarray,
     interpret: bool = True,
 ) -> jnp.ndarray:
-    """Pallas variant of :func:`delay_line_outputs`.
+    """Pallas variant of :func:`delay_line_outputs` (compiles on TPU).
 
-    The whole x-history and Y output live in VMEM for the entire run —
-    one kernel launch, no HBM roundtrips between blocks.
+    The delay-line history lives in VMEM scratch across the whole run (a
+    shifting (N, m_max + block) window — no HBM roundtrips between blocks)
+    and both matmuls run at precision=HIGHEST: |err| vs float64 is ~2e-8
+    where the scan path's default-precision matmuls accumulate ~7e-4.
     ``interpret=False`` is a TPU-placement assertion by the caller (never
     resolve it from ``jax.default_backend()``, which lies for CPU-placed
     computation in a TPU-registered process).
@@ -187,37 +225,44 @@ def delay_line_outputs_pallas(
     n = len(delays)
     t_len = input_signal.shape[0]
     m_max = int(max(delays))
-    block = _block_size(delays)
+    block = _pallas_block_size(delays)
     n_blocks = int(np.ceil(t_len / block))
     t_pad = n_blocks * block
 
     u = jnp.zeros((1, t_pad), jnp.float32).at[0, :t_len].set(input_signal)
-    offsets = np.asarray([m_max - d for d in delays], np.int32)
+    offsets = tuple(m_max - int(d) for d in delays)
+    spread = max(offsets)
+    sel = np.zeros((n, spread + block, block), np.float32)
+    for i in range(n):
+        sel[i, offsets[i] : offsets[i] + block] = np.eye(block)
 
     kernel = functools.partial(
         _tdgfdn_kernel,
-        n_blocks=n_blocks,
         block=block,
         m_max=m_max,
-        offsets=tuple(int(o) for o in offsets),
+        spread=spread,
+        n_lines=n,
     )
     y = pl.pallas_call(
         kernel,
+        grid=(n_blocks,),
         out_shape=jax.ShapeDtypeStruct((n, t_pad), jnp.float32),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i)),
+            pl.BlockSpec((n, 1), lambda i: (0, 0)),
+            pl.BlockSpec((n, n), lambda i: (0, 0)),
+            pl.BlockSpec((n, 1), lambda i: (0, 0)),
+            pl.BlockSpec(sel.shape, lambda i: (0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((n, t_pad + m_max), jnp.float32)],
+        out_specs=pl.BlockSpec((n, block), lambda i: (0, i)),
+        scratch_shapes=[pltpu.VMEM((n, m_max + block), jnp.float32)],
         interpret=interpret,
     )(
         u,
         gains.astype(jnp.float32)[:, None],
         feedback_matrix.astype(jnp.float32),
         input_gains.astype(jnp.float32)[:, None],
+        jnp.asarray(sel),
     )
     return y.T[:t_len]
 
@@ -471,6 +516,8 @@ def delay_line_outputs_filtered(
         )
 
         u_blk = lax.dynamic_slice(u, (start,), (L,))
+        # HIGHEST precision on the recursion matmuls (see delay_line_outputs)
+        hi = jax.lax.Precision.HIGHEST
         if poly:
             y_ext = jnp.concatenate([y_tail, y_blk], axis=0)  # (L+order-1, N)
             x_blk = u_blk[:, None] * b[None, :]
@@ -478,10 +525,13 @@ def delay_line_outputs_filtered(
                 sl = lax.slice(
                     y_ext, (order - 1 - o, 0), (order - 1 - o + L, n)
                 )
-                x_blk = x_blk + sl @ a_t[o]
+                x_blk = x_blk + jnp.matmul(sl, a_t[o], precision=hi)
             y_tail = lax.slice(y_ext, (L, 0), (L + order - 1, n))
         else:
-            x_blk = y_blk @ a_t + u_blk[:, None] * b[None, :]
+            x_blk = (
+                jnp.matmul(y_blk, a_t, precision=hi)
+                + u_blk[:, None] * b[None, :]
+            )
         x_hist = lax.dynamic_update_slice(x_hist, x_blk, (start + m_max, 0))
         return (x_hist, s, y_tail), y_blk
 
