@@ -148,6 +148,7 @@ def directional_edc_loss_from_sh(
     mixing_time_samps: int,
     edc_len_samps: int,
     mask_key: Optional[jax.Array] = None,
+    use_matmul_irfft: bool = False,
 ) -> jnp.ndarray:
     """Same loss, fed the SH-domain response (B, L, F) directly.
 
@@ -155,11 +156,20 @@ def directional_edc_loss_from_sh(
     irfft the L = (n+1)^2 SH channels (fewer than the J >= L directions)
     and apply the analysis matrix as a REAL time-domain matmul — identical
     result, ~J/L fewer FFTs and no (B, J, F) complex intermediate.
+
+    ``use_matmul_irfft``: run the irfft as four-step MXU matmuls computing
+    ONLY the [mixing_time, edc_len) output window (ops/mxu_fft.py) — a
+    TPU-placement assertion like the Pallas kernels.
     """
     n = 2 * (h_sh.shape[-1] - 1)
-    rir_sh = jnp.fft.irfft(h_sh, n, axis=-1)[
-        ..., mixing_time_samps : edc_len_samps + mixing_time_samps
-    ]
+    lo = mixing_time_samps
+    hi = min(edc_len_samps + mixing_time_samps, n)
+    if use_matmul_irfft:
+        from ..ops.mxu_fft import irfft_matmul
+
+        rir_sh = irfft_matmul(h_sh, n, lo, hi)
+    else:
+        rir_sh = jnp.fft.irfft(h_sh, n, axis=-1)[..., lo:hi]
     pred_rir = jnp.einsum(
         "jl,blt->bjt",
         jnp.asarray(analysis_matrix, jnp.float32),

@@ -104,13 +104,15 @@ def schroeder_backward_int(
 ) -> jnp.ndarray:
     """Schroeder backward integral: EDC(t) = sum_{u>=t} signal(u)^2.
 
-    Implemented as flip∘cumsum∘flip of the squared signal
-    (reference: losses.py:187-199).
+    flip∘cumsum∘flip of the squared signal (reference: losses.py:187-199),
+    via ``lax.cumsum(reverse=True)`` — same small-to-large summation
+    order (no tail cancellation) without the two flip relayout passes
+    over the (B, J, T) energy tensor (~5% of the directional train step
+    on TPU, measured round 3).
     """
-    e = jnp.flip(
-        jnp.cumsum(jnp.flip(signal ** 2, axis=time_axis), axis=time_axis),
-        axis=time_axis,
-    )
+    s2 = signal ** 2
+    axis = time_axis % s2.ndim
+    e = jax.lax.cumsum(s2, axis=axis, reverse=True)
     if normalize:
         e = e / jnp.max(e, axis=time_axis, keepdims=True)
     return e

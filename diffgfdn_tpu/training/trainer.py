@@ -97,6 +97,14 @@ class GFDNTrainer:
             else jnp.asarray(directional_envelopes, jnp.float32)
         )
         self.use_directional = directional_envelopes is not None
+        # MXU matmul-irfft in the directional loss (ops/mxu_fft.py).
+        # Default OFF: A/B on the real chip (round 3, optimizer-chained
+        # full steps) measured 56.0 ms vs 44.7 ms with the native fft at
+        # the N=27/batch-16/nfft-131072 scale — the four-step transform's
+        # 75 MB re/im intermediates and transposes cost more than the
+        # serial fft thunk saves. Kept as an opt-in for stacks/scales
+        # where the native fft is weaker.
+        self.use_mxu_fft = False
 
         if common_decay_times is None:
             self.max_ir_len_ms = 2000.0
@@ -167,6 +175,7 @@ class GFDNTrainer:
                     self.mixing_time_samps,
                     self.max_ir_len_samps,
                     mask_key=mask_key,
+                    use_matmul_irfft=self.use_mxu_fft,
                 )
             )
         elif "target_edc_db" in batch:
