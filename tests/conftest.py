@@ -79,6 +79,10 @@ SLOW_TESTS = {
     "test_group_pooled_transfer_function_matches_generic",
     "test_trained_model_spatial_inference",
     "test_var_receiver_scalar_fast_path_matches_general",
+    "test_var_source_receiver_scalar_fast_path_matches_general",
+    "test_precomputed_band_features_match_slow_path",
+    "test_directional_loss_matmul_irfft_matches_native",
+    "test_directional_prediction_matches_targets_better_after_training",
     "test_pallas_cinv_gradient_via_custom_vjp",
     "test_pallas_cinv_needs_pivoting",
     "test_directional_mlp_training_improves",
