@@ -740,12 +740,13 @@ def bench_torch_cpu_spatial(steps: int = 5):
     return 1.0 / dt
 
 
-def bench_binaural_render():
-    """BASELINE config 5: 6DoF moving-listener binaural render (host CPU).
+def bench_binaural_render(backend: str = "host"):
+    """BASELINE config 5: 6DoF moving-listener binaural render.
 
-    Per-hop SH rotation + HRTF-SH beamforming + crossfaded overlap-add —
-    deliberately host-side (unbatchable per-hop control flow; reference:
-    sound_examples.py:356-539). Returns x-real-time.
+    Per-hop SH rotation + HRTF-SH beamforming + crossfaded overlap-add
+    (reference: sound_examples.py:356-539). ``backend="host"`` is the
+    streaming hop loop on one CPU core; ``backend="jax"`` batches every
+    hop into one device program. Returns x-real-time.
     """
     import importlib.util
     from pathlib import Path
@@ -756,7 +757,7 @@ def bench_binaural_render():
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    return mod.measure()
+    return mod.measure(backend=backend)
 
 
 def bench_torch_cpu_svf(steps: int = 2):
@@ -1050,6 +1051,9 @@ def main():
     band_sps = _try("band-parallel tpu", bench_tpu_band_parallel)
     spatial_sps = _try("spatial tpu", bench_tpu_spatial_mlp)
     binaural_xrt = _try("binaural render", bench_binaural_render)
+    binaural_dev_xrt = _try(
+        "binaural render (device)", bench_binaural_render, backend="jax"
+    )
 
     # --- torch-CPU baselines (the reference's eager formulation) ---
     cpu_sps = _try("torch fullband", bench_torch_cpu)
@@ -1116,6 +1120,17 @@ def main():
             "value": round(binaural_xrt, 1),
             "unit": "x_realtime_6dof_host_cpu",
             "vs_baseline": round(binaural_xrt, 1),  # vs 1x real time
+        })
+    if binaural_dev_xrt is not None:
+        extra.append({
+            "metric": "binaural_render_batched_x_realtime",
+            "value": round(binaural_dev_xrt, 1),
+            "unit": "x_realtime_6dof_batched_device",
+            "vs_baseline": (
+                round(binaural_dev_xrt, 1)
+                if binaural_xrt is None
+                else round(binaural_dev_xrt / binaural_xrt, 1)
+            ),  # vs the host streaming path (or 1x real time)
         })
 
     print(

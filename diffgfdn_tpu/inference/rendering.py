@@ -10,10 +10,17 @@ Reference behaviour: src/sound_examples.py:25-539 —
 * :func:`normalise_loudness` — BS.1770-style K-weighted loudness
   normalization (replaces pyloudnorm).
 
-Host-side numpy throughout: this is streaming playback tooling, not a
-training path; the per-hop BRIR math is small.
+The host path is numpy (streaming playback tooling). The binaural
+renderer additionally offers ``backend="jax"``: the hop loop's only
+sequential state (one-hop smoothing of the rotation matrix and RTF, and
+the previous segment's crossfade tail) has a closed form, so ALL hops
+batch into one device program — batched SH rotations, one beamforming
+einsum, one batched irfft, batched FFT convolution of every hop segment,
+and an on-device overlap-add. Same semantics as the host loop
+(parity-tested), offline-rendering throughput instead of per-hop latency.
 """
 
+import functools
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -282,10 +289,12 @@ class BinauralDynamicRendering(DynamicRenderingMovingReceiver):
                 [np.zeros(rirs.shape[:-1] + (rirs.shape[-1] - late.shape[-1],)), late],
                 axis=-1,
             )
-        self.ambi_rtfs = np.fft.rfft(rirs[self.rec_idxs], self.num_freq_bins, axis=-1)
+        self._proc_rirs = rirs[self.rec_idxs]  # processed, time domain
+        self.ambi_rtfs = np.fft.rfft(self._proc_rirs, self.num_freq_bins, axis=-1)
         self.ambi_hrtfs = np.fft.rfft(self.hrir_sh, self.num_freq_bins, axis=-1)
         self._prev_rot = None
         self._prev_rtf = None
+        self._dev_consts = None  # jax-backend device-resident constants
 
     def get_binaural_rir(
         self, head_orientation: Tuple[float, float], rec_pos_idx: int,
@@ -304,8 +313,18 @@ class BinauralDynamicRendering(DynamicRenderingMovingReceiver):
         self._prev_rtf = cur_rtf
         return np.fft.irfft(brtf, self.num_freq_bins, axis=0)
 
-    def binaural_filter_overlap_add(self) -> np.ndarray:
-        """Hop-wise binaural convolution with sqrt crossfades -> (T, 2)."""
+    def binaural_filter_overlap_add(self, backend: str = "host") -> np.ndarray:
+        """Hop-wise binaural convolution with sqrt crossfades -> (T, 2).
+
+        ``backend="host"`` streams hop by hop (numpy, stateful smoothing —
+        suitable for real-time playback). ``backend="jax"`` renders every
+        hop in ONE batched device program (fresh smoothing state, as on a
+        first host call); use for offline rendering throughput.
+        """
+        if backend == "jax":
+            return self._binaural_ola_jax()
+        if backend != "host":
+            raise ValueError(f"unknown backend {backend!r}")
         out = np.zeros((len(self.extended_stimulus), 2))
         fade_len = ms_to_samps(self.update_ms, self.sample_rate)
         f_out = fade_windows(fade_len, fade_out=True, uncorr_fade=True)
@@ -334,3 +353,110 @@ class BinauralDynamicRendering(DynamicRenderingMovingReceiver):
                 else:
                     prev_tail[: len(seg), j] = seg
         return out
+
+    def _binaural_ola_jax(self) -> np.ndarray:
+        """All hops of :meth:`binaural_filter_overlap_add` in one device
+        program (see the module docstring). Matches the host loop's output
+        from a fresh renderer to f32 accuracy."""
+        import jax
+
+        k_hops = self.num_pos
+        hop = self.hop_size
+        fade_len = ms_to_samps(self.update_ms, self.sample_rate)
+        assert fade_len == hop, "binaural fades are one hop long by construction"
+
+        # smoothed SH rotation matrices (tiny: host numpy)
+        rot = np.stack(
+            [
+                sh_rotation_yaw_pitch_roll(self.ambi_order, -yaw, -pitch, 0.0)
+                for yaw, pitch in self.orientation_list
+            ]
+        )
+        w_rot = np.concatenate([rot[:1], 0.5 * (rot[1:] + rot[:-1])])
+
+        if self._dev_consts is None:
+            self._dev_consts = (
+                jax.device_put(np.asarray(self._proc_rirs, np.float32)),
+                jax.device_put(np.asarray(self.hrir_sh, np.float32)),
+            )
+        rirs_dev, hrir_dev = self._dev_consts
+        fn = _batched_binaural_fn(k_hops, hop, self.num_freq_bins)
+        segs = self.extended_stimulus.reshape(k_hops, hop)
+        out = fn(segs, np.asarray(w_rot, np.float32), rirs_dev, hrir_dev)
+        return np.asarray(jax.block_until_ready(out), np.float64)
+
+
+@functools.lru_cache(maxsize=8)
+def _batched_binaural_fn(k_hops: int, hop: int, nfft: int):
+    """Jitted all-hops binaural render: (K,hop) stimulus segments,
+    (K,S,S) smoothed rotations, (K,S,T) SRIRs, (S,2,Th) HRIR-SH
+    -> (K*hop, 2) crossfaded binaural output.
+
+    One-hop smoothing (alpha=0.5, matching the host path's default) is
+    applied in closed form; the overlap-add and the host loop's
+    end-truncated crossfade tails (rendering.py host path; reference
+    sound_examples.py:430-539) are reproduced exactly.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    seg_len = hop + nfft - 1
+    nfft2 = 1 << (seg_len - 1).bit_length()
+    n_chunks = -(-seg_len // hop)
+    # host-truncation offsets: hop k's tail is taken from its segment
+    # AFTER truncation to the output buffer, i.e. rows t_k .. t_k + hop
+    tail_start = np.array(
+        [
+            min(seg_len, (k_hops - k) * hop) - hop
+            for k in range(max(k_hops - 1, 1))
+        ],
+        np.int32,
+    )
+    f_in = fade_windows(hop, fade_out=False, uncorr_fade=True).astype(np.float32)
+    f_out = fade_windows(hop, fade_out=True, uncorr_fade=True).astype(np.float32)
+
+    def fn(segs, w_rot, rirs, hrir):
+        rtf = jnp.fft.rfft(rirs, nfft, axis=-1)  # (K, S, Fb)
+        w_rtf = jnp.concatenate([rtf[:1], 0.5 * (rtf[1:] + rtf[:-1])])
+        hf = jnp.fft.rfft(hrir, nfft, axis=-1)  # (S, 2, Fb)
+        # rotated[k,f,n] = sum_s w_rot[k,n,s] w_rtf[k,s,f]; then beamform
+        # with conj(HRTF-SH): brtf[k,f,r] = sum_n conj(hf[n,r,f]) g[k,n,f]
+        g = jnp.einsum("kns,ksf->knf", w_rot.astype(rtf.dtype), w_rtf)
+        brtf = jnp.einsum("nrf,knf->kfr", jnp.conj(hf), g)
+        brir = jnp.fft.irfft(brtf, nfft, axis=1)  # (K, F, 2)
+
+        sf = jnp.fft.rfft(segs, nfft2, axis=-1)  # (K, Fb2)
+        bf = jnp.fft.rfft(brir, nfft2, axis=1)  # (K, Fb2, 2)
+        seg_t = jnp.fft.irfft(sf[:, :, None] * bf, nfft2, axis=1)[:, :seg_len]
+
+        # crossfade tails (from the unscaled, host-truncated segments)
+        if k_hops > 1:
+            idx = tail_start[:, None] + np.arange(hop)[None, :]  # (K-1, hop)
+            tails = jnp.take_along_axis(
+                seg_t[: k_hops - 1], idx[:, :, None], axis=1
+            )
+        # fade-in on every hop's head except the first
+        scale = jnp.concatenate(
+            [jnp.ones((1, hop)), jnp.broadcast_to(f_in, (k_hops - 1, hop))]
+        )
+        seg_t = jnp.concatenate(
+            [seg_t[:, :hop] * scale[:, :, None], seg_t[:, hop:]], axis=1
+        )
+
+        # overlap-add at stride hop (static chunk loop)
+        pad = n_chunks * hop - seg_len
+        chunks = jnp.pad(seg_t, ((0, 0), (0, pad), (0, 0))).reshape(
+            k_hops, n_chunks, hop, 2
+        )
+        out = jnp.zeros(((k_hops + n_chunks) * hop, 2), seg_t.dtype)
+        for m in range(n_chunks):
+            out = out.at[m * hop : (m + k_hops) * hop].add(
+                chunks[:, m].reshape(k_hops * hop, 2)
+            )
+        if k_hops > 1:
+            out = out.at[hop : k_hops * hop].add(
+                (tails * f_out[None, :, None]).reshape((k_hops - 1) * hop, 2)
+            )
+        return out[: k_hops * hop]
+
+    return jax.jit(fn)

@@ -323,6 +323,40 @@ def test_binaural_rendering_shapes(tmp_path):
     assert np.isfinite(out).all() and np.abs(out).max() > 0
 
 
+def test_binaural_jax_backend_matches_host(tmp_path):
+    """The batched device render reproduces the host hop loop exactly
+    (fresh smoothing state), including the end-truncated crossfade tails."""
+    from diffgfdn_tpu.data.spatial_dataset import (
+        generate_spatial_three_room_pickle,
+        SpatialThreeRoomDataset,
+    )
+
+    path = generate_spatial_three_room_pickle(
+        tmp_path / "s.pkl", grid_spacing_m=1.2, rir_len_s=0.1,
+        decay_times=(0.03, 0.05, 0.04),
+    )
+    room = SpatialThreeRoomDataset(path)
+    reader = _mock_hrir_reader(tmp_path)
+    hrir_sh = reader.get_spherical_harmonic_representation(2)
+    rng = np.random.RandomState(1)
+    n_hops = 5
+    pos = np.tile(room.receiver_position[:3], (2, 1))[:n_hops]
+    oris = np.stack(
+        [np.linspace(0, np.pi, n_hops), np.linspace(0, 0.3, n_hops)], axis=-1
+    )
+    hop_ms = 50
+    stim = rng.randn(
+        n_hops * int(room.sample_rate * hop_ms / 1000)
+    ).astype(np.float32)
+    rend = BinauralDynamicRendering(
+        room, pos, oris, stim, hrir_sh, update_ms=hop_ms, use_whole_rir=True
+    )
+    out_jax = rend.binaural_filter_overlap_add(backend="jax")
+    out_host = rend.binaural_filter_overlap_add()  # fresh smoothing state
+    assert out_jax.shape == out_host.shape
+    assert np.allclose(out_jax, out_host, atol=1e-4 * np.abs(out_host).max())
+
+
 def test_loudness_normalization():
     rng = np.random.RandomState(0)
     sig = 0.01 * rng.randn(int(FS * 3))

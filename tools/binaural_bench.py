@@ -1,12 +1,18 @@
 #!/usr/bin/env python
 """BASELINE config-5 benchmark: 6DoF binaural moving-listener rendering.
 
-Measures x-real-time throughput of the host-side binaural renderer
-(SH rotation per hop + HRTF-SH beamforming + crossfaded overlap-add;
-reference: sound_examples.py:356-539). This path is deliberately host
-numpy (SURVEY §7.3: unbatchable per-hop control flow stays off-device).
+Measures x-real-time throughput of the binaural renderer (SH rotation +
+HRTF-SH beamforming + crossfaded overlap-add; reference:
+sound_examples.py:356-539) on two backends:
 
-Run: python tools/binaural_bench.py [--fs 32000] [--rir-s 1.0] [--hops 30]
+* ``host`` — the streaming hop-by-hop numpy path (1 CPU core);
+* ``jax``  — the batched all-hops device program
+  (``BinauralDynamicRendering.binaural_filter_overlap_add(backend="jax")``):
+  every hop's rotation/beamforming/irfft/convolution in one jitted
+  program, overlap-add on device.
+
+Run: python tools/binaural_bench.py [--backend host|jax] [--fs 32000]
+     [--rir-s 1.0] [--hops 30]
 """
 
 import argparse
@@ -24,6 +30,7 @@ def measure(
     rir_s: float = 1.0,
     hops: int = 30,
     update_ms: float = 100.0,
+    backend: str = "host",
 ) -> float:
     """Run the 6DoF binaural render benchmark; returns x-real-time."""
     import tempfile
@@ -60,17 +67,31 @@ def measure(
             room, pos, oris, stim, hrir_sh, update_ms=update_ms,
             use_whole_rir=True,
         )
-        # warm caches (rfft plans etc.)
-        rend.binaural_filter_overlap_add()
-        t0 = time.time()
-        out = rend.binaural_filter_overlap_add()
-        wall = time.time() - t0
         audio_s = rend.total_sim_len / fs
+        # warm caches (rfft plans / XLA compile + device constant upload)
+        rend.binaural_filter_overlap_add(backend=backend)
+        if backend == "host":
+            t0 = time.time()
+            out = rend.binaural_filter_overlap_add()
+            wall = time.time() - t0
+            where = "host CPU, 1 core"
+        else:
+            # distinct stimuli per timed call: the tunnel's replay cache can
+            # serve identical repeated programs without executing them
+            walls = []
+            for i in range(1, 4):
+                rend.extended_stimulus = (
+                    rend.extended_stimulus * (1.0 + 1e-6 * i)
+                ).astype(np.float32)
+                t0 = time.time()
+                out = rend.binaural_filter_overlap_add(backend="jax")
+                walls.append(time.time() - t0)
+            wall = float(np.min(walls))
+            where = "batched device program"
         print(
-            f"binaural 6DoF render: {audio_s:.1f}s of audio "
+            f"binaural 6DoF render[{backend}]: {audio_s:.1f}s of audio "
             f"({hops} hops, {rir_s:.1f}s order-2 SRIRs @ {fs:.0f} Hz) "
-            f"in {wall:.2f}s -> {audio_s / wall:.1f}x real time (host CPU, "
-            f"1 core)"
+            f"in {wall:.3f}s -> {audio_s / wall:.1f}x real time ({where})"
         )
         assert np.isfinite(out).all()
         return audio_s / wall
@@ -82,8 +103,11 @@ def main():
     ap.add_argument("--rir-s", type=float, default=1.0)
     ap.add_argument("--hops", type=int, default=30)
     ap.add_argument("--update-ms", type=float, default=100.0)
+    ap.add_argument("--backend", default="host", choices=["host", "jax", "both"])
     args = ap.parse_args()
-    measure(args.fs, args.rir_s, args.hops, args.update_ms)
+    backends = ["host", "jax"] if args.backend == "both" else [args.backend]
+    for b in backends:
+        measure(args.fs, args.rir_s, args.hops, args.update_ms, backend=b)
 
 
 if __name__ == "__main__":
