@@ -138,6 +138,22 @@ def test_flops_cost_models():
     assert gfdn_mems(32000.0, 12, 40.0, 3) == 1280 * 12 + 16 + 24 + 9
 
 
+def test_compare_flops_example(tmp_path):
+    """The compare_flops.ipynb-equivalent example runs and writes its figure."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "compare_flops_example",
+        Path(__file__).resolve().parents[1] / "examples" / "compare_flops.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = tmp_path / "cf.png"
+    mod.main(["--out", str(out)])
+    assert out.exists() and out.stat().st_size > 0
+
+
 # ------------------------ plot-parity suite (round 2) ------------------------
 
 
