@@ -197,31 +197,39 @@ def cinv_with(
 
 @functools.lru_cache(maxsize=None)
 def _csolve1_pallas_for(interpret: bool):
-    """custom-vjp'd Pallas solve specialized to an interpret mode."""
+    """custom-vjp'd Pallas solve specialized to an interpret mode.
+
+    Forward: the fused pivoted-LU solve (kernels/pallas_lu.py) — ~N^3/3
+    work on the shrinking active block vs the inverse kernel's ~2N^3 on a
+    width-2N augmented system (2.6x measured at the N=27 directional
+    scale, BASELINE.md). Backward: the transposed solve from the SAME
+    packed factors (two O(N^2) triangular passes) — no second elimination,
+    preserving the solve-once property the inverse-based VJP had.
+    """
 
     def fwd_impl(m, b):
-        from .pallas_cinv import cinv_pallas
+        from .pallas_lu import lu_solve_pallas
 
         n = m.shape[-1]
-        p = cinv_pallas(m.reshape(-1, n, n), interpret=interpret).reshape(
-            m.shape
-        )
         bc = jnp.broadcast_to(b.astype(m.dtype), m.shape[:-1])
-        x = jnp.einsum(
-            "...nm,...m->...n", p, bc, precision=jax.lax.Precision.HIGHEST
+        x2, facs = lu_solve_pallas(
+            m.reshape(-1, n, n), bc.reshape(-1, n), interpret=interpret
         )
-        return x, (p, x, b.shape)
+        x = x2.reshape(m.shape[:-1])
+        return x, (facs, x, b.shape)
 
     @jax.custom_vjp
     def solve(m, b):
         return fwd_impl(m, b)[0]
 
     def bwd(res, g):
-        p, x, b_shape = res
-        # y = M^-T g = P^T g; dm = -y x^T; db = sum-over-broadcast(y)
-        y = jnp.einsum(
-            "...mn,...m->...n", p, g, precision=jax.lax.Precision.HIGHEST
-        )
+        from .pallas_lu import lut_apply_pallas
+
+        facs, x, b_shape = res
+        n = x.shape[-1]
+        # y = M^-T g; dm = -y x^T; db = sum-over-broadcast(y)
+        y = lut_apply_pallas(facs, g.reshape(-1, n), interpret=interpret)
+        y = y.reshape(x.shape)
         dm = -(y[..., :, None] * x[..., None, :])
         db = y
         while db.ndim > len(b_shape):

@@ -84,6 +84,9 @@ SLOW_TESTS = {
     "test_directional_loss_matmul_irfft_matches_native",
     "test_directional_prediction_matches_targets_better_after_training",
     "test_pallas_cinv_gradient_via_custom_vjp",
+    "test_csolve1_pallas_gradients_match_xla",
+    "test_csolve1_pallas_block_shapes",
+    "test_lut_apply_is_transposed_solve",
     "test_pallas_cinv_needs_pivoting",
     "test_directional_mlp_training_improves",
     "test_gradients_finite_with_zero_b0_section",
