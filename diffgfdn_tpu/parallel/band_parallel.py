@@ -208,6 +208,9 @@ class BandParallelTrainer:
         self.optimizer: Optional[optax.GradientTransformation] = None
         self._loss_fn = loss_fn
         self._band_feats: Optional[Dict] = None
+        # fit_indexed runs each epoch as ONE jitted lax.scan over its steps
+        # (single dispatch per epoch); False restores per-step dispatch
+        self.scan_epochs = True
         # per-band loss histories (filled by fit_indexed)
         self.train_loss: List[np.ndarray] = []
         self.valid_loss: List[np.ndarray] = []
@@ -483,6 +486,52 @@ class BandParallelTrainer:
 
         return indexed_valid
 
+    def _make_indexed_epoch(self) -> Callable:
+        """One lax.scan over ALL steps of an epoch (single dispatch): the
+        per-step dispatch overhead (~3 ms wall each on a tunnel-attached
+        TPU) leaves the epoch entirely on device. The active-band mask is
+        constant within an epoch and rides in as an argument."""
+        step = self._make_indexed_step()
+
+        def epoch_fn(params, opt_state, data, band_feats, band_resps,
+                     idx_mat, epoch_key, active):
+            def body(carry, xs):
+                p, o = carry
+                idx, i = xs
+                p, o, total, _ = step(
+                    p, o, data, band_feats, band_resps, idx,
+                    jax.random.fold_in(epoch_key, i), active,
+                )
+                return (p, o), total
+
+            steps = idx_mat.shape[0]
+            (params, opt_state), totals = jax.lax.scan(
+                body, (params, opt_state),
+                (idx_mat, jnp.arange(steps, dtype=jnp.uint32)),
+            )
+            return params, opt_state, totals
+
+        return epoch_fn
+
+    def _make_indexed_valid_epoch(self) -> Callable:
+        vstep = self._make_indexed_valid()
+
+        def epoch_fn(params, data, band_feats, band_resps, idx_mat,
+                     epoch_key):
+            def body(carry, xs):
+                idx, i = xs
+                vt, _ = vstep(params, data, band_feats, band_resps, idx,
+                              jax.random.fold_in(epoch_key, i))
+                return carry, vt
+
+            steps = idx_mat.shape[0]
+            _, totals = jax.lax.scan(
+                body, 0, (idx_mat, jnp.arange(steps, dtype=jnp.uint32))
+            )
+            return totals
+
+        return epoch_fn
+
     def fit_indexed(
         self,
         params,
@@ -516,8 +565,14 @@ class BandParallelTrainer:
             if valid_idx is not None and len(valid_idx)
             else None
         )
-        step = jax.jit(self._make_indexed_step(), donate_argnums=(0, 1))
-        vstep = jax.jit(self._make_indexed_valid())
+        if self.scan_epochs:
+            epoch_fn = jax.jit(
+                self._make_indexed_epoch(), donate_argnums=(0, 1)
+            )
+            vepoch_fn = jax.jit(self._make_indexed_valid_epoch())
+        else:
+            step = jax.jit(self._make_indexed_step(), donate_argnums=(0, 1))
+            vstep = jax.jit(self._make_indexed_valid())
         key = jax.random.PRNGKey(seed)
         rng = np.random.RandomState(seed)
         max_epochs = max_epochs or self.cfg.max_epochs
@@ -534,19 +589,42 @@ class BandParallelTrainer:
             trained_this_epoch = active.copy()
             active_dev = jnp.asarray(active)
             perm = train_idx[rng.permutation(len(train_idx))]
-            totals, nb = None, 0
-            for bidx in padded_batches(perm, bs):
-                key, sub = jax.random.split(key)
-                params, opt_state, total, _ = step(
-                    params, opt_state, data, band_feats, self._band_resps_dev,
-                    jnp.asarray(bidx, jnp.int32), sub, active_dev,
+            if self.scan_epochs:
+                idx_mat = jnp.asarray(
+                    np.stack(list(padded_batches(perm, bs))), jnp.int32
                 )
-                totals = total if totals is None else totals + total
-                nb += 1
-            self.train_loss.append(np.asarray(totals) / max(nb, 1))
+                key, ek = jax.random.split(key)
+                params, opt_state, totals = epoch_fn(
+                    params, opt_state, data, band_feats,
+                    self._band_resps_dev, idx_mat, ek, active_dev,
+                )
+                self.train_loss.append(np.asarray(jnp.mean(totals, axis=0)))
+            else:
+                totals, nb = None, 0
+                for bidx in padded_batches(perm, bs):
+                    key, sub = jax.random.split(key)
+                    params, opt_state, total, _ = step(
+                        params, opt_state, data, band_feats,
+                        self._band_resps_dev,
+                        jnp.asarray(bidx, jnp.int32), sub, active_dev,
+                    )
+                    totals = total if totals is None else totals + total
+                    nb += 1
+                self.train_loss.append(np.asarray(totals) / max(nb, 1))
 
             v_epoch = None
-            if vbs is not None:
+            if vbs is not None and self.scan_epochs:
+                vidx_mat = jnp.asarray(
+                    np.stack(list(padded_batches(np.asarray(valid_idx), vbs))),
+                    jnp.int32,
+                )
+                key, vk = jax.random.split(key)
+                vtotals = vepoch_fn(
+                    params, data, band_feats, self._band_resps_dev,
+                    vidx_mat, vk,
+                )
+                v_epoch = np.asarray(jnp.mean(vtotals, axis=0))
+            elif vbs is not None:
                 ev, nv = None, 0
                 for vidx in padded_batches(np.asarray(valid_idx), vbs):
                     key, sub = jax.random.split(key)
@@ -557,6 +635,8 @@ class BandParallelTrainer:
                     ev = vt if ev is None else ev + vt
                     nv += 1
                 v_epoch = np.asarray(ev) / max(nv, 1)
+
+            if v_epoch is not None:
                 self.valid_loss.append(v_epoch)
                 if len(self.valid_loss) >= 2:
                     delta = np.abs(self.valid_loss[-2] - self.valid_loss[-1])

@@ -183,9 +183,36 @@ class SpatialSamplingTrainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, total, aux
 
+        def train_epoch(params, opt_state, stacked):
+            def body(carry, batch):
+                p, o = carry
+                p, o, total, _ = train_step(p, o, batch)
+                return (p, o), total
+
+            (params, opt_state), totals = jax.lax.scan(
+                body, (params, opt_state), stacked
+            )
+            return params, opt_state, totals
+
+        def valid_epoch(params, stacked):
+            def body(carry, batch):
+                total, _ = loss_fn(params, batch)
+                return carry, total
+
+            _, totals = jax.lax.scan(body, 0, stacked)
+            return totals
+
         self._train_step_fn = train_step
+        self._train_epoch_fn = train_epoch
+        self._valid_epoch = jax.jit(valid_epoch)
         self._valid_step = jax.jit(loss_fn)
         self._jitted_train = None
+        # fit() runs each epoch as ONE jitted lax.scan over its steps when
+        # the epoch's batches share a common shape (single dispatch per
+        # epoch; per-step dispatch costs ~3 ms wall on a tunnel-attached
+        # TPU — several times this trainer's compute). False restores the
+        # per-step dispatch loop.
+        self.scan_epochs = True
 
     # ---------------------------- training ---------------------------------
 
@@ -211,31 +238,66 @@ class SpatialSamplingTrainer:
         self.optimizer = optax.adam(schedule)
         opt_state = self.optimizer.init(params)
         self._jitted_train = jax.jit(self._train_step_fn)
+        jitted_epoch = jax.jit(self._train_epoch_fn, donate_argnums=(0, 1))
+
+        def _stack(batches):
+            """Stack same-shaped batch dicts along a new leading (step)
+            axis for lax.scan; None when the epoch is ragged."""
+            if not batches:
+                return None
+            keys = batches[0].keys()
+            if any(b.keys() != keys for b in batches[1:]):
+                return None
+            out = {}
+            for k in keys:
+                arrs = [np.asarray(b[k]) for b in batches]
+                if any(a.shape != arrs[0].shape for a in arrs[1:]):
+                    return None
+                out[k] = jnp.asarray(np.stack(arrs))
+            return out
+
+        vstacked = None
+        if valid_batches is not None and self.scan_epochs:
+            vstacked = _stack(list(valid_batches()))
 
         for epoch in range(self.cfg.max_epochs):
             t0 = time.time()
-            # losses accumulate ON DEVICE; a float() per step would cost a
-            # full host round trip (~45 ms through the TPU tunnel) and
-            # serialize the otherwise-pipelined steps
-            total, nb = None, 0
-            for batch in train_batches(epoch):
-                params, opt_state, loss, _ = self._jitted_train(
-                    params, opt_state, batch
-                )
-                total = loss if total is None else total + loss
-                nb += 1
-            self.train_loss.append(
-                float(total) / max(nb, 1) if total is not None else 0.0
+            stacked = (
+                _stack(list(train_batches(epoch))) if self.scan_epochs else None
             )
-            if valid_batches is not None:
-                vtotal, vb = None, 0
-                for batch in valid_batches():
-                    loss, _ = self._valid_step(params, batch)
-                    vtotal = loss if vtotal is None else vtotal + loss
-                    vb += 1
-                self.valid_loss.append(
-                    float(vtotal) / max(vb, 1) if vtotal is not None else 0.0
+            if stacked is not None:
+                # ONE dispatch for the whole epoch
+                params, opt_state, totals = jitted_epoch(
+                    params, opt_state, stacked
                 )
+                self.train_loss.append(float(jnp.mean(totals)))
+            else:
+                # losses accumulate ON DEVICE; a float() per step would cost
+                # a full host round trip (~45 ms through the TPU tunnel) and
+                # serialize the otherwise-pipelined steps
+                total, nb = None, 0
+                for batch in train_batches(epoch):
+                    params, opt_state, loss, _ = self._jitted_train(
+                        params, opt_state, batch
+                    )
+                    total = loss if total is None else total + loss
+                    nb += 1
+                self.train_loss.append(
+                    float(total) / max(nb, 1) if total is not None else 0.0
+                )
+            if valid_batches is not None:
+                if vstacked is not None:
+                    vtotals = self._valid_epoch(params, vstacked)
+                    self.valid_loss.append(float(jnp.mean(vtotals)))
+                else:
+                    vtotal, vb = None, 0
+                    for batch in valid_batches():
+                        loss, _ = self._valid_step(params, batch)
+                        vtotal = loss if vtotal is None else vtotal + loss
+                        vb += 1
+                    self.valid_loss.append(
+                        float(vtotal) / max(vb, 1) if vtotal is not None else 0.0
+                    )
             save_checkpoint(self._checkpoint_dir(), epoch, params)
             logger.info(
                 "spatial epoch %d train %.4f%s (%.2fs)",

@@ -105,6 +105,10 @@ class GFDNTrainer:
         # serial fft thunk saves. Kept as an opt-in for stacks/scales
         # where the native fft is weaker.
         self.use_mxu_fft = False
+        # fit_indexed runs each epoch as ONE jitted lax.scan over its steps
+        # (a single dispatch per epoch). Set False to restore per-step
+        # dispatch (step-level introspection / debugging).
+        self.scan_epochs = True
 
         if common_decay_times is None:
             self.max_ir_len_ms = 2000.0
@@ -325,6 +329,59 @@ class GFDNTrainer:
 
         return train_step
 
+    # ------------------------- scanned epoch path ----------------------------
+    # One jitted lax.scan over ALL steps of an epoch: a single dispatch per
+    # epoch instead of one (or two, with per-step normalization) per step.
+    # On a tunnel-attached TPU each dispatch costs ~3 ms wall-clock even
+    # fully pipelined, which dominates sub-10 ms steps; on any TPU it also
+    # removes per-step host work from the critical path. Per-step PRNG keys
+    # derive as fold_in(epoch_key, step) (the key only drives the optional
+    # EDC mask).
+
+    def _make_indexed_epoch(self) -> Callable:
+        step = self._make_indexed_step(True)
+        normalize_per_step = not getattr(self.model, "use_svf_in_output", False)
+
+        def epoch_fn(params, opt_state, data, idx_mat, epoch_key):
+            if not normalize_per_step:
+                params = self._normalize_params_from_data(params, data)
+
+            def body(carry, xs):
+                p, o = carry
+                idx, i = xs
+                if normalize_per_step:
+                    p = self._normalize_params_from_data(p, data)
+                p, o, total, aux = step(p, o, data, idx,
+                                        jax.random.fold_in(epoch_key, i))
+                return (p, o), (total, aux)
+
+            steps = idx_mat.shape[0]
+            (params, opt_state), (totals, auxs) = jax.lax.scan(
+                body, (params, opt_state),
+                (idx_mat, jnp.arange(steps, dtype=jnp.uint32)),
+            )
+            return params, opt_state, totals, auxs
+
+        return epoch_fn
+
+    def _make_indexed_valid_epoch(self) -> Callable:
+        vstep = self._make_indexed_step(False)
+
+        def epoch_fn(params, data, idx_mat, epoch_key):
+            def body(carry, xs):
+                idx, i = xs
+                total, aux = vstep(params, data, idx,
+                                   jax.random.fold_in(epoch_key, i))
+                return carry, (total, aux)
+
+            steps = idx_mat.shape[0]
+            _, (totals, auxs) = jax.lax.scan(
+                body, 0, (idx_mat, jnp.arange(steps, dtype=jnp.uint32))
+            )
+            return totals, auxs
+
+        return epoch_fn
+
     def fit_indexed(
         self,
         params,
@@ -383,11 +440,24 @@ class GFDNTrainer:
         bs = min(self.cfg.batch_size, max(1, len(train_idx)))
         vbs = min(self.cfg.batch_size, max(1, len(valid_idx)))
 
-        train_step = jax.jit(self._make_indexed_step(True), donate_argnums=(0, 1))
-        valid_step = jax.jit(self._make_indexed_step(False))
-        normalize = jax.jit(
-            lambda p, d: self._normalize_params_from_data(p, d)
-        )
+        if self.scan_epochs:
+            train_epoch = jax.jit(
+                self._make_indexed_epoch(), donate_argnums=(0, 1)
+            )
+            valid_epoch = jax.jit(self._make_indexed_valid_epoch())
+            vbatches = list(padded_batches(valid_idx, vbs))
+            vidx_mat = (
+                jnp.asarray(np.stack(vbatches), jnp.int32)
+                if vbatches else None
+            )
+        else:
+            train_step = jax.jit(
+                self._make_indexed_step(True), donate_argnums=(0, 1)
+            )
+            valid_step = jax.jit(self._make_indexed_step(False))
+            normalize = jax.jit(
+                lambda p, d: self._normalize_params_from_data(p, d)
+            )
         if start_epoch == 0:
             save_checkpoint(self.cfg.train_dir, -1, params)
         normalize_per_step = not getattr(self.model, "use_svf_in_output", False)
@@ -402,48 +472,78 @@ class GFDNTrainer:
         for epoch in range(start_epoch, self.cfg.max_epochs):
             ep_start = time.time()
             perm = train_idx[rng.permutation(len(train_idx))]
-            # losses accumulate ON DEVICE: fetching a scalar every step costs
-            # a full tunnel round trip (~45 ms) — steps stay pipelined and
-            # the host syncs once per epoch
-            ep_loss, ep_all, n_train = None, {}, 0
-            if not normalize_per_step:
-                params = normalize(params, data)
-            for bidx in padded_batches(perm, bs):
-                idx = jnp.asarray(bidx, jnp.int32)
-                if normalize_per_step:
+            if self.scan_epochs:
+                # ONE dispatch for the whole training epoch (lax.scan over
+                # steps) and one for validation; the host fetches the
+                # per-step loss vectors once per epoch
+                batches = list(padded_batches(perm, bs))
+                idx_mat = jnp.asarray(np.stack(batches), jnp.int32)
+                key, ek = jax.random.split(key)
+                params, opt_state, totals, auxs = train_epoch(
+                    params, opt_state, data, idx_mat, ek
+                )
+                self.train_loss.append(float(jnp.mean(totals)))
+                self.individual_train_loss.append(
+                    {k: float(jnp.mean(v)) for k, v in auxs.items()}
+                )
+                if vidx_mat is not None:
+                    key, vk = jax.random.split(key)
+                    vtotals, vauxs = valid_epoch(params, data, vidx_mat, vk)
+                    self.valid_loss.append(float(jnp.mean(vtotals)))
+                    self.individual_valid_loss.append(
+                        {k: float(jnp.mean(v)) for k, v in vauxs.items()}
+                    )
+                else:
+                    self.valid_loss.append(0.0)
+                    self.individual_valid_loss.append({})
+            else:
+                # per-step dispatch path: losses still accumulate ON DEVICE
+                # (fetching a scalar every step costs a full tunnel round
+                # trip, ~45 ms) — steps stay pipelined and the host syncs
+                # once per epoch
+                ep_loss, ep_all, n_train = None, {}, 0
+                if not normalize_per_step:
                     params = normalize(params, data)
-                key, sub = jax.random.split(key)
-                params, opt_state, total, aux = train_step(
-                    params, opt_state, data, idx, sub
-                )
-                ep_loss = total if ep_loss is None else ep_loss + total
-                for kk, v in aux.items():
-                    ep_all[kk] = v if kk not in ep_all else ep_all[kk] + v
-                n_train += 1
+                for bidx in padded_batches(perm, bs):
+                    idx = jnp.asarray(bidx, jnp.int32)
+                    if normalize_per_step:
+                        params = normalize(params, data)
+                    key, sub = jax.random.split(key)
+                    params, opt_state, total, aux = train_step(
+                        params, opt_state, data, idx, sub
+                    )
+                    ep_loss = total if ep_loss is None else ep_loss + total
+                    for kk, v in aux.items():
+                        ep_all[kk] = v if kk not in ep_all else ep_all[kk] + v
+                    n_train += 1
 
-            ev_loss, ev_all, n_valid = None, {}, 0
-            for vidx in padded_batches(valid_idx, vbs):
-                key, sub = jax.random.split(key)
-                total, aux = valid_step(
-                    params, data, jnp.asarray(vidx, jnp.int32), sub
-                )
-                ev_loss = total if ev_loss is None else ev_loss + total
-                for kk, v in aux.items():
-                    ev_all[kk] = v if kk not in ev_all else ev_all[kk] + v
-                n_valid += 1
+                ev_loss, ev_all, n_valid = None, {}, 0
+                for vidx in padded_batches(valid_idx, vbs):
+                    key, sub = jax.random.split(key)
+                    total, aux = valid_step(
+                        params, data, jnp.asarray(vidx, jnp.int32), sub
+                    )
+                    ev_loss = total if ev_loss is None else ev_loss + total
+                    for kk, v in aux.items():
+                        ev_all[kk] = (
+                            v if kk not in ev_all else ev_all[kk] + v
+                        )
+                    n_valid += 1
 
-            self.train_loss.append(
-                float(ep_loss) / max(n_train, 1) if ep_loss is not None else 0.0
-            )
-            self.individual_train_loss.append(
-                {k: float(v) / max(n_train, 1) for k, v in ep_all.items()}
-            )
-            self.valid_loss.append(
-                float(ev_loss) / max(n_valid, 1) if ev_loss is not None else 0.0
-            )
-            self.individual_valid_loss.append(
-                {k: float(v) / max(n_valid, 1) for k, v in ev_all.items()}
-            )
+                self.train_loss.append(
+                    float(ep_loss) / max(n_train, 1)
+                    if ep_loss is not None else 0.0
+                )
+                self.individual_train_loss.append(
+                    {k: float(v) / max(n_train, 1) for k, v in ep_all.items()}
+                )
+                self.valid_loss.append(
+                    float(ev_loss) / max(n_valid, 1)
+                    if ev_loss is not None else 0.0
+                )
+                self.individual_valid_loss.append(
+                    {k: float(v) / max(n_valid, 1) for k, v in ev_all.items()}
+                )
             save_checkpoint(self.cfg.train_dir, epoch, params)
             save_opt_state(self.cfg.train_dir, epoch, opt_state)
             logger.info(

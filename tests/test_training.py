@@ -144,6 +144,54 @@ def test_single_pos_training(tmp_path, room):
     assert np.isfinite(trainer.train_loss).all()
 
 
+def test_scan_epoch_matches_per_step(tmp_path, room):
+    """fit_indexed's scanned-epoch path (one lax.scan dispatch per epoch)
+    trains identically to the per-step dispatch loop."""
+    import jax
+
+    from diffgfdn_tpu.data.batching import (
+        arrays_from_room_dataset,
+        train_valid_split,
+    )
+    from diffgfdn_tpu.training.build import build_gfdn_model
+    from diffgfdn_tpu.training.trainer import GFDNTrainer
+    from diffgfdn_tpu.utils.cio import init_with_batch
+    from diffgfdn_tpu.data.batching import gather_batch
+
+    def run(scan, subdir):
+        cfg = small_config(tmp_path / subdir, max_epochs=2)
+        model = build_gfdn_model(cfg, common_decay_times=room.common_decay_times,
+                                 band_centre_hz=room.band_centre_hz)
+        tc = cfg.trainer_config
+        arrays = arrays_from_room_dataset(room)
+        train_idx, valid_idx = train_valid_split(
+            np.arange(arrays.num_items), tc.train_valid_split, seed=cfg.seed
+        )
+        trainer = GFDNTrainer(
+            model, tc,
+            steps_per_epoch=max(1, len(train_idx) // tc.batch_size),
+            common_decay_times=room.common_decay_times,
+            sample_rate=cfg.sample_rate,
+        )
+        trainer.precompute_target_features(arrays)
+        trainer.scan_epochs = scan
+        example = gather_batch(arrays, np.arange(tc.batch_size))
+        params = init_with_batch(model, jax.random.PRNGKey(cfg.seed), example)
+        params = trainer.fit_indexed(
+            params, arrays, train_idx, valid_idx, seed=cfg.seed
+        )
+        return trainer, params
+
+    t_scan, p_scan = run(True, "scan")
+    t_loop, p_loop = run(False, "loop")
+    assert np.allclose(t_scan.train_loss, t_loop.train_loss, rtol=1e-5)
+    assert np.allclose(t_scan.valid_loss, t_loop.valid_loss, rtol=1e-5)
+    flat_s = jax.tree_util.tree_leaves(p_scan)
+    flat_l = jax.tree_util.tree_leaves(p_loop)
+    for a, b in zip(flat_s, flat_l):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_fit_indexed_resume(tmp_path, room):
     """An interrupted run resumes from the newest checkpoint."""
     from diffgfdn_tpu.training.solver import run_training_var_receiver_pos
