@@ -583,3 +583,130 @@ def animate_moving_listener(
             ani.save(gif, writer="pillow", fps=min(fps, 10), dpi=80)
         plt.close(fig)
     return ani
+
+
+def plot_edr(
+    rir: np.ndarray,
+    fs: float,
+    win_size: int = 512,
+    hop_size: int = 256,
+    log_freq_axis: bool = False,
+    title: Optional[str] = None,
+    save_path: Optional[str] = None,
+) -> np.ndarray:
+    """EDR waterfall of an RIR (reference: plot.py:305-338).
+
+    STFT -> backward cumulative per-bin energy (ops/stft.py) rendered as a
+    dB pcolormesh. Returns the EDR array (F, n_frames) in dB.
+    """
+    import jax.numpy as jnp
+
+    from ..ops.stft import edr_from_stft, stft
+
+    s = stft(jnp.asarray(np.asarray(rir, np.float32)), win_size, hop_size)
+    edr = np.asarray(edr_from_stft(s))
+    freqs = np.fft.rfftfreq(win_size, 1.0 / fs)
+    times = hop_size * np.arange(edr.shape[-1]) / fs
+    fig, ax = plt.subplots(figsize=(7, 4))
+    im = ax.pcolormesh(times, freqs, edr, shading="auto", cmap="magma")
+    fig.colorbar(im, ax=ax, label="EDR [dB]")
+    if log_freq_axis:
+        ax.set_yscale("log")
+        ax.set_ylim(freqs[1], fs / 2)
+    ax.set_xlabel("time [s]")
+    ax.set_ylabel("frequency [Hz]")
+    if title:
+        ax.set_title(title)
+    save_or_show(fig, save_path)
+    return edr
+
+
+def plot_learned_svf_response(
+    output_biquad_coeffs,
+    fs: float,
+    pos_to_investigate: Optional[Sequence[float]] = None,
+    epoch_numbers: Optional[Sequence[int]] = None,
+    save_path: Optional[str] = None,
+):
+    """Magnitude + pole/zero evolution of learned output SVF cascades.
+
+    ``output_biquad_coeffs``: one (num_groups, n_sections, 6) array, or a
+    list of them (one per checkpoint epoch). Draws, per group, the cascade
+    magnitude response on a log-frequency axis and the section poles (x) /
+    zeros (o) on a polar unit-disc plot (reference: plot.py:1060-1207; the
+    reference's theoretical-SVF-pole printout is diagnostic logging we skip).
+    Saves ``{save_path}_output_filter_response.png`` and
+    ``{save_path}_output_filter_pz_plot.png`` when ``save_path`` is given.
+    """
+    from ..ops.biquad import sos_response_np
+
+    per_epoch = (
+        list(output_biquad_coeffs)
+        if isinstance(output_biquad_coeffs, (list, tuple))
+        else [output_biquad_coeffs]
+    )
+    num_groups = int(np.asarray(per_epoch[0]).shape[0])
+    labels = (
+        list(epoch_numbers)
+        if epoch_numbers is not None
+        else list(range(len(per_epoch)))
+    )
+    fig, axes = plt.subplots(
+        num_groups, 1, figsize=(6, 2.6 * num_groups), squeeze=False
+    )
+    figp, axesp = plt.subplots(
+        num_groups,
+        1,
+        subplot_kw={"projection": "polar"},
+        figsize=(6, 3.0 * num_groups),
+        squeeze=False,
+    )
+    freqs = np.geomspace(20.0, fs / 2 * 0.95, 512)
+    for epoch, coeffs in zip(labels, per_epoch):
+        coeffs = np.asarray(coeffs, np.float64)
+        for g in range(num_groups):
+            sos = coeffs[g] / coeffs[g][:, 3:4]  # normalize a0 = 1
+            resp = sos_response_np(sos, freqs, fs)
+            axes[g, 0].semilogx(
+                freqs, db_np(resp), alpha=0.8, label=f"epoch {epoch}"
+            )
+            zeros = np.concatenate([np.roots(sec[:3]) for sec in sos])
+            poles = np.concatenate([np.roots(sec[3:]) for sec in sos])
+            axesp[g, 0].plot(
+                np.angle(zeros), np.abs(zeros), "o", alpha=0.7,
+                label=f"zeros e{epoch}",
+            )
+            axesp[g, 0].plot(
+                np.angle(poles), np.abs(poles), "x", alpha=0.7,
+                label=f"poles e{epoch}",
+            )
+    where = (
+        f" at position {list(pos_to_investigate)}"
+        if pos_to_investigate is not None
+        else ""
+    )
+    for g in range(num_groups):
+        axes[g, 0].set_xlabel("frequency [Hz]")
+        axes[g, 0].set_ylabel("magnitude [dB]")
+        axes[g, 0].set_title(f"output filter, group {g + 1}{where}")
+        axes[g, 0].grid(alpha=0.3, which="both")
+        axesp[g, 0].set_rmax(1.05)
+        axesp[g, 0].set_rticks([0.25, 0.5, 1.0])
+        axesp[g, 0].grid(True)
+    axes[0, 0].legend(loc="lower right", fontsize=7)
+    fig.tight_layout()
+    figp.tight_layout()
+    if save_path is not None:
+        base = Path(save_path)
+        base.parent.mkdir(parents=True, exist_ok=True)
+        fig.savefig(
+            base.parent / f"{base.stem}_output_filter_response.png",
+            bbox_inches="tight", dpi=150,
+        )
+        figp.savefig(
+            base.parent / f"{base.stem}_output_filter_pz_plot.png",
+            bbox_inches="tight", dpi=150,
+        )
+        plt.close(fig)
+        plt.close(figp)
+    return fig, figp

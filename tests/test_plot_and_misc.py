@@ -316,3 +316,38 @@ def test_save_feedback_matrix_animation(tmp_path):
         save_checkpoint(tmp_path, e, params)
     out = save_feedback_matrix_animation(model, tmp_path, 2)
     assert out is not None and (tmp_path / "feedback_matrix.gif").exists()
+
+
+def test_plot_edr_and_learned_svf_response(tmp_path):
+    from diffgfdn_tpu.ops.biquad import peak_filter_np
+
+    rng = np.random.RandomState(1)
+    rir = rng.randn(4000) * np.exp(-np.arange(4000) / 400)
+    edr = dplot.plot_edr(
+        rir, 8000.0, win_size=256, hop_size=128,
+        save_path=str(tmp_path / "edr.png"),
+    )
+    assert (tmp_path / "edr.png").exists()
+    # EDR must be monotone non-increasing along frames (cumulative backward)
+    assert np.all(np.diff(edr, axis=-1) <= 1e-6)
+
+    # two epochs x two groups x three peaking sections each
+    def cascade(gain_db):
+        secs = [
+            np.concatenate(
+                peak_filter_np(f0, 10.0 ** (gain_db / 20.0), 0.7, 8000.0)
+            )
+            for f0 in (200.0, 800.0, 2500.0)
+        ]
+        return np.stack(secs)
+
+    per_epoch = [
+        np.stack([cascade(3.0), cascade(-2.0)]),
+        np.stack([cascade(1.0), cascade(-4.0)]),
+    ]
+    dplot.plot_learned_svf_response(
+        per_epoch, 8000.0, pos_to_investigate=[1.0, 2.0, 1.5],
+        epoch_numbers=[-1, 0], save_path=str(tmp_path / "svf.png"),
+    )
+    assert (tmp_path / "svf_output_filter_response.png").exists()
+    assert (tmp_path / "svf_output_filter_pz_plot.png").exists()
