@@ -244,6 +244,32 @@ class InferDiffGFDN:
             else:
                 # loads the per-group pickles cached during training
                 # (train_dir/colorless-fdn/); only retrains if missing
+                from pathlib import Path
+
+                colorless_dir = (
+                    Path(config.trainer_config.train_dir) / "colorless-fdn"
+                )
+                missing = [
+                    g + 1
+                    for g in range(config.num_groups)
+                    if not (
+                        colorless_dir / f"parameters_opt_group={g + 1}.pkl"
+                    ).exists()
+                ]
+                if missing:
+                    # the prototype fixes the io gains the checkpoint was
+                    # optimized against; a fresh retrain (different
+                    # backend/optimizer build) can yield DIFFERENT gains
+                    # and silently wrong RIRs
+                    logger.warning(
+                        "colorless prototype pickles missing for group(s) "
+                        "%s under %s — RETRAINING them now; if this "
+                        "checkpoint was trained elsewhere, copy its "
+                        "colorless-fdn/ directory instead (retrained io "
+                        "gains may not match the checkpoint)",
+                        missing,
+                        colorless_dir,
+                    )
                 colorless_params = run_training_colorless_fdn(
                     config, room_data.num_freq_bins // 16
                 )

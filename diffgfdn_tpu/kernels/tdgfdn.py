@@ -42,6 +42,7 @@ alias-free in the time domain.
 """
 
 import functools
+import logging
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -50,6 +51,8 @@ import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+logger = logging.getLogger("diffgfdn_tpu")
 
 
 def _block_size(delays: Tuple[int, ...]) -> int:
@@ -143,13 +146,21 @@ def time_domain_gfdn(
 _SEL_VMEM_BUDGET_BYTES = 12 * 2 ** 20
 
 
-def _pallas_block_size(delays: Tuple[int, ...]) -> int:
-    """Largest block (<= min delay, <= 256) whose selection tensor fits."""
+def _pallas_block_size(delays: Tuple[int, ...]) -> Optional[int]:
+    """Largest block (<= min delay, <= 256) whose selection tensor fits.
+
+    Returns None when no block size fits: the tensor is dominated by the
+    delay SPREAD (n * spread * block floats), which halving the block
+    barely reduces — a wide-spread delay set can exceed the budget even at
+    the block floor, and the caller must use the XLA scan path instead.
+    """
     n = len(delays)
     spread = int(max(delays)) - int(min(delays))
     block = min(_block_size(delays), 256)
     while block > 8 and n * (spread + block) * block * 4 > _SEL_VMEM_BUDGET_BYTES:
         block //= 2
+    if n * (spread + block) * block * 4 > _SEL_VMEM_BUDGET_BYTES:
+        return None
     return block
 
 
@@ -226,6 +237,18 @@ def delay_line_outputs_pallas(
     t_len = input_signal.shape[0]
     m_max = int(max(delays))
     block = _pallas_block_size(delays)
+    if block is None:
+        # selection tensor cannot fit VMEM at any block size (wide delay
+        # spread) — the XLA scan computes the identical recursion
+        logger.warning(
+            "tdgfdn Pallas kernel skipped: delay spread %d needs more VMEM "
+            "than the %d MB selection budget; using the XLA scan path",
+            int(max(delays)) - int(min(delays)),
+            _SEL_VMEM_BUDGET_BYTES >> 20,
+        )
+        return delay_line_outputs(
+            delays, gains, feedback_matrix, input_gains, input_signal
+        )
     n_blocks = int(np.ceil(t_len / block))
     t_pad = n_blocks * block
 

@@ -129,7 +129,12 @@ def irfft_matmul(
     assert h.shape[-1] == m + 1, (h.shape, n)
     if out_stop is None:
         out_stop = n
-    assert 0 <= out_start < out_stop <= n
+    # The matmul factorization needs a power-of-two length (>= 8 so m
+    # splits) and a non-empty window; anything else falls back to the
+    # native irfft with identical slicing semantics. All static ints, so
+    # the branch resolves at trace time.
+    if n & (n - 1) or n < 8 or not 0 <= out_start < out_stop <= n:
+        return jnp.fft.irfft(h, n, axis=-1)[..., out_start:out_stop]
     h = h.astype(jnp.complex64)
     h_k = h[..., :m]
     h_mk = h[..., m:0:-1]  # H[m-k], k = 0..m-1

@@ -30,6 +30,7 @@ from ..config.schema import TrainerConfig
 from ..losses import amse_loss, edc_loss, edr_loss, mse_loss, sparsity_loss
 from ..ops.basic import ms_to_samps
 from ..ops.unitary import orthogonal_from_skew
+from ..training.scan import scan_epoch
 from ..utils.cio import decode_batch, encode_batch
 from .mesh import band_sharding, batch_sharding, make_mesh, replicated
 
@@ -487,27 +488,22 @@ class BandParallelTrainer:
         return indexed_valid
 
     def _make_indexed_epoch(self) -> Callable:
-        """One lax.scan over ALL steps of an epoch (single dispatch): the
-        per-step dispatch overhead (~3 ms wall each on a tunnel-attached
-        TPU) leaves the epoch entirely on device. The active-band mask is
+        """One lax.scan over ALL steps of an epoch (training/scan.py owns
+        the skeleton — single dispatch per epoch). The active-band mask is
         constant within an epoch and rides in as an argument."""
         step = self._make_indexed_step()
 
         def epoch_fn(params, opt_state, data, band_feats, band_resps,
                      idx_mat, epoch_key, active):
-            def body(carry, xs):
+            def body(carry, idx, key):
                 p, o = carry
-                idx, i = xs
                 p, o, total, _ = step(
-                    p, o, data, band_feats, band_resps, idx,
-                    jax.random.fold_in(epoch_key, i), active,
+                    p, o, data, band_feats, band_resps, idx, key, active
                 )
                 return (p, o), total
 
-            steps = idx_mat.shape[0]
-            (params, opt_state), totals = jax.lax.scan(
-                body, (params, opt_state),
-                (idx_mat, jnp.arange(steps, dtype=jnp.uint32)),
+            (params, opt_state), totals = scan_epoch(
+                body, (params, opt_state), idx_mat, epoch_key
             )
             return params, opt_state, totals
 
@@ -518,16 +514,11 @@ class BandParallelTrainer:
 
         def epoch_fn(params, data, band_feats, band_resps, idx_mat,
                      epoch_key):
-            def body(carry, xs):
-                idx, i = xs
-                vt, _ = vstep(params, data, band_feats, band_resps, idx,
-                              jax.random.fold_in(epoch_key, i))
+            def body(carry, idx, key):
+                vt, _ = vstep(params, data, band_feats, band_resps, idx, key)
                 return carry, vt
 
-            steps = idx_mat.shape[0]
-            _, totals = jax.lax.scan(
-                body, 0, (idx_mat, jnp.arange(steps, dtype=jnp.uint32))
-            )
+            _, totals = scan_epoch(body, 0, idx_mat, epoch_key)
             return totals
 
         return epoch_fn

@@ -206,13 +206,143 @@ class SpatialSamplingTrainer:
         self._train_epoch_fn = train_epoch
         self._valid_epoch = jax.jit(valid_epoch)
         self._valid_step = jax.jit(loss_fn)
+        self._loss_fn = loss_fn
         self._jitted_train = None
-        # fit() runs each epoch as ONE jitted lax.scan over its steps when
-        # the epoch's batches share a common shape (single dispatch per
-        # epoch; per-step dispatch costs ~3 ms wall on a tunnel-attached
-        # TPU — several times this trainer's compute). False restores the
-        # per-step dispatch loop.
+        # fit()/fit_indexed() run each epoch as ONE jitted lax.scan over
+        # its steps when the epoch's batches share a common shape (single
+        # dispatch per epoch; per-step dispatch costs ~3 ms wall on a
+        # tunnel-attached TPU — several times this trainer's compute).
+        # False restores the per-step dispatch loop.
         self.scan_epochs = True
+
+    # --------------------- device-resident indexed path ---------------------
+
+    _INDEXED_KEYS = (
+        "norm_listener_position",
+        "listener_position",
+        "target_common_slope_amps",
+    )
+
+    def upload_arrays(self, arrays) -> Dict[str, jnp.ndarray]:
+        """device_put ONCE the (small, real) arrays the loss reads.
+
+        The MLP losses touch only positions and CS-amplitude targets —
+        uploading the full batch dicts (which carry the rfft spectra)
+        every epoch would re-ship the dataset over the TPU tunnel."""
+        return {
+            k: jnp.asarray(np.asarray(getattr(arrays, k), np.float32))
+            for k in self._INDEXED_KEYS
+            if getattr(arrays, k) is not None
+        }
+
+    def fit_indexed(
+        self,
+        params,
+        arrays,
+        train_idx: np.ndarray,
+        valid_idx: Optional[np.ndarray] = None,
+        seed: int = 0,
+    ):
+        """Epoch loop over device-resident data (on-device index gathers).
+
+        MLP counterpart of GFDNTrainer.fit_indexed: the dataset uploads
+        once, each epoch ships only an int32 batch-index matrix, and the
+        whole epoch runs as one lax.scan dispatch (training/scan.py)."""
+        from .scan import scan_epoch
+        from .trainer import padded_batches
+
+        data = self.upload_arrays(arrays)
+        bs = min(self.cfg.batch_size, max(1, len(train_idx)))
+        steps_per_epoch = max(1, len(list(padded_batches(train_idx, bs))))
+        schedule = optax.exponential_decay(
+            self.cfg.lr,
+            transition_steps=20 * steps_per_epoch,
+            decay_rate=0.1,
+            staircase=True,
+        )
+        self.optimizer = optax.adam(schedule)
+        opt_state = self.optimizer.init(params)
+
+        def gather(idx):
+            return {k: v[idx] for k, v in data.items()}
+
+        def train_step(p, o, idx):
+            (total, aux), grads = jax.value_and_grad(
+                self._loss_fn, has_aux=True
+            )(p, gather(idx))
+            updates, o = self.optimizer.update(grads, o, p)
+            return optax.apply_updates(p, updates), o, total
+
+        if self.scan_epochs:
+            def train_epoch(p, o, idx_mat):
+                def body(carry, idx, _key):
+                    p_, o_, total = train_step(*carry, idx)
+                    return (p_, o_), total
+
+                (p, o), totals = scan_epoch(body, (p, o), idx_mat)
+                return p, o, totals
+
+            def valid_epoch(p, idx_mat):
+                def body(carry, idx, _key):
+                    total, _ = self._loss_fn(p, gather(idx))
+                    return carry, total
+
+                _, totals = scan_epoch(body, 0, idx_mat)
+                return totals
+
+            train_fn = jax.jit(train_epoch, donate_argnums=(0, 1))
+            valid_fn = jax.jit(valid_epoch)
+        else:
+            step_fn = jax.jit(train_step, donate_argnums=(0, 1))
+            vstep_fn = jax.jit(lambda p, idx: self._loss_fn(p, gather(idx))[0])
+
+        vidx_mat = None
+        if valid_idx is not None and len(valid_idx):
+            vbs = min(self.cfg.batch_size, len(valid_idx))
+            vidx_mat = jnp.asarray(
+                np.stack(list(padded_batches(np.asarray(valid_idx), vbs))),
+                jnp.int32,
+            )
+        rng = np.random.RandomState(seed)
+        for epoch in range(self.cfg.max_epochs):
+            t0 = time.time()
+            perm = np.asarray(train_idx)[rng.permutation(len(train_idx))]
+            batches = list(padded_batches(perm, bs))
+            if self.scan_epochs:
+                idx_mat = jnp.asarray(np.stack(batches), jnp.int32)
+                params, opt_state, totals = train_fn(params, opt_state, idx_mat)
+                self.train_loss.append(float(jnp.mean(totals)))
+            else:
+                total = None
+                for bidx in batches:
+                    params, opt_state, loss = step_fn(
+                        params, opt_state, jnp.asarray(bidx, jnp.int32)
+                    )
+                    total = loss if total is None else total + loss
+                self.train_loss.append(float(total) / max(len(batches), 1))
+            if vidx_mat is not None:
+                if self.scan_epochs:
+                    self.valid_loss.append(
+                        float(jnp.mean(valid_fn(params, vidx_mat)))
+                    )
+                else:
+                    vs = [
+                        float(vstep_fn(params, row)) for row in vidx_mat
+                    ]
+                    self.valid_loss.append(float(np.mean(vs)))
+            save_checkpoint(self._checkpoint_dir(), epoch, params)
+            logger.info(
+                "spatial epoch %d train %.4f%s (%.2fs)",
+                epoch,
+                self.train_loss[-1],
+                (
+                    f" valid {self.valid_loss[-1]:.4f}"
+                    if vidx_mat is not None
+                    else ""
+                ),
+                time.time() - t0,
+            )
+        return params
 
     # ---------------------------- training ---------------------------------
 
@@ -227,7 +357,15 @@ class SpatialSamplingTrainer:
         params,
         train_batches: Callable[[int], Iterable[Dict]],
         valid_batches: Optional[Callable[[], Iterable[Dict]]] = None,
+        static_batches: bool = False,
     ):
+        """Generator-batch epoch loop (CNN grids / custom batch sources).
+
+        ``static_batches=True`` declares that ``train_batches(epoch)``
+        yields the SAME batches every epoch (e.g. the CNN's one full-grid
+        batch), so the stacked epoch uploads once instead of per epoch.
+        Index-based MLP training should prefer :meth:`fit_indexed`, which
+        keeps the dataset device-resident."""
         steps_per_epoch = max(1, sum(1 for _ in train_batches(0)))
         schedule = optax.exponential_decay(
             self.cfg.lr,
@@ -260,11 +398,21 @@ class SpatialSamplingTrainer:
         if valid_batches is not None and self.scan_epochs:
             vstacked = _stack(list(valid_batches()))
 
+        static_stacked = (
+            _stack(list(train_batches(0)))
+            if static_batches and self.scan_epochs
+            else None
+        )
         for epoch in range(self.cfg.max_epochs):
             t0 = time.time()
-            stacked = (
-                _stack(list(train_batches(epoch))) if self.scan_epochs else None
-            )
+            if static_stacked is not None:
+                stacked = static_stacked
+            else:
+                stacked = (
+                    _stack(list(train_batches(epoch)))
+                    if self.scan_epochs
+                    else None
+                )
             if stacked is not None:
                 # ONE dispatch for the whole epoch
                 params, opt_state, totals = jitted_epoch(
@@ -359,7 +507,8 @@ def run_training_spatial_sampling_cnn(
             grid_resolution_m=res,
         )
         params = model.init(jax.random.PRNGKey(config.seed), batch)
-        params = trainer.fit(params, train_batches)
+        # the one full-grid batch is identical every epoch: upload it once
+        params = trainer.fit(params, train_batches, static_batches=True)
         results[res] = (trainer, params)
     return results
 
@@ -415,18 +564,6 @@ def run_training_spatial_sampling(
     for res in grid_resolutions:
         train_idx, valid_idx = split_by_grid_resolution(room_data, res)
 
-        def train_batches(epoch, _t=train_idx):
-            return iterate_batches(
-                arrays, _t, min(config.batch_size, len(_t)),
-                shuffle=True, seed=config.seed + epoch,
-            )
-
-        def valid_batches(_v=valid_idx):
-            return iterate_batches(
-                arrays, _v, min(config.batch_size, max(1, len(_v))),
-                shuffle=False,
-            )
-
         trainer = SpatialSamplingTrainer(
             model,
             config,
@@ -434,9 +571,18 @@ def run_training_spatial_sampling(
             use_edc_loss=use_edc_loss,
             grid_resolution_m=res,
         )
-        example = next(iter(train_batches(0)))
+        example = next(
+            iterate_batches(
+                arrays, train_idx, min(config.batch_size, len(train_idx)),
+                shuffle=False,
+            )
+        )
         params = model.init(jax.random.PRNGKey(config.seed), example)
-        params = trainer.fit(params, train_batches, valid_batches)
+        # device-resident indexed path: the dataset uploads once; each
+        # epoch ships one int32 index matrix and runs as one scan dispatch
+        params = trainer.fit_indexed(
+            params, arrays, train_idx, valid_idx, seed=config.seed
+        )
         results[res] = (trainer, params)
         _save_beamformer_maps(config, room_data, trainer, params, example, res)
     return results

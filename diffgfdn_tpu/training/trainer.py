@@ -40,6 +40,7 @@ from ..models.gfdn import DiffGFDN
 from ..utils.cio import decode_batch, encode_batch
 from .checkpoints import save_checkpoint, save_opt_state
 from .optim import make_optimizer
+from .scan import scan_epoch
 
 logger = logging.getLogger("diffgfdn_tpu")
 
@@ -330,13 +331,10 @@ class GFDNTrainer:
         return train_step
 
     # ------------------------- scanned epoch path ----------------------------
-    # One jitted lax.scan over ALL steps of an epoch: a single dispatch per
-    # epoch instead of one (or two, with per-step normalization) per step.
-    # On a tunnel-attached TPU each dispatch costs ~3 ms wall-clock even
-    # fully pipelined, which dominates sub-10 ms steps; on any TPU it also
-    # removes per-step host work from the critical path. Per-step PRNG keys
-    # derive as fold_in(epoch_key, step) (the key only drives the optional
-    # EDC mask).
+    # One jitted lax.scan over ALL steps of an epoch (training/scan.py owns
+    # the skeleton): a single dispatch per epoch instead of one (or two,
+    # with per-step normalization) per step. The PRNG key only drives the
+    # optional EDC mask.
 
     def _make_indexed_epoch(self) -> Callable:
         step = self._make_indexed_step(True)
@@ -346,19 +344,15 @@ class GFDNTrainer:
             if not normalize_per_step:
                 params = self._normalize_params_from_data(params, data)
 
-            def body(carry, xs):
+            def body(carry, idx, key):
                 p, o = carry
-                idx, i = xs
                 if normalize_per_step:
                     p = self._normalize_params_from_data(p, data)
-                p, o, total, aux = step(p, o, data, idx,
-                                        jax.random.fold_in(epoch_key, i))
+                p, o, total, aux = step(p, o, data, idx, key)
                 return (p, o), (total, aux)
 
-            steps = idx_mat.shape[0]
-            (params, opt_state), (totals, auxs) = jax.lax.scan(
-                body, (params, opt_state),
-                (idx_mat, jnp.arange(steps, dtype=jnp.uint32)),
+            (params, opt_state), (totals, auxs) = scan_epoch(
+                body, (params, opt_state), idx_mat, epoch_key
             )
             return params, opt_state, totals, auxs
 
@@ -368,16 +362,10 @@ class GFDNTrainer:
         vstep = self._make_indexed_step(False)
 
         def epoch_fn(params, data, idx_mat, epoch_key):
-            def body(carry, xs):
-                idx, i = xs
-                total, aux = vstep(params, data, idx,
-                                   jax.random.fold_in(epoch_key, i))
-                return carry, (total, aux)
+            def body(carry, idx, key):
+                return carry, vstep(params, data, idx, key)
 
-            steps = idx_mat.shape[0]
-            _, (totals, auxs) = jax.lax.scan(
-                body, 0, (idx_mat, jnp.arange(steps, dtype=jnp.uint32))
-            )
+            _, (totals, auxs) = scan_epoch(body, 0, idx_mat, epoch_key)
             return totals, auxs
 
         return epoch_fn

@@ -62,3 +62,16 @@ def test_directional_loss_matmul_irfft_matches_native():
     assert abs(v0 - v1) < 1e-3 * max(abs(v0), 1.0)
     g = jax.grad(lambda x: loss(x, True))(jnp.asarray(h_ri))
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_irfft_matmul_non_power_of_two_falls_back():
+    """Non-power-of-two lengths (any nfft the config allows) fall back to
+    the native irfft instead of tripping the factorization assert."""
+    rng = np.random.RandomState(0)
+    for n, lo, hi in ((96, 10, 80), (100, 0, None), (128, 130, 200)):
+        h = (rng.randn(3, n // 2 + 1) + 1j * rng.randn(3, n // 2 + 1)).astype(
+            np.complex64
+        )
+        want = np.fft.irfft(h, n, axis=-1)[..., lo:hi]
+        got = np.asarray(irfft_matmul(jnp.asarray(h), n, lo, hi))
+        np.testing.assert_allclose(got, want, atol=2e-6)

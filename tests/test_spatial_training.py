@@ -125,3 +125,45 @@ def test_cnn_training_path(tmp_path, spatial_room):
     trainer, params = results[0.6]
     assert np.isfinite(trainer.train_loss).all()
     assert trainer.train_loss[-1] < trainer.train_loss[0]
+
+
+def test_spatial_fit_indexed_scan_matches_per_step(tmp_path, spatial_room):
+    """fit_indexed with scan_epochs True/False trains identically (the
+    scanned epoch is a pure refactoring of the per-step loop)."""
+    import jax
+
+    from diffgfdn_tpu.data.spatial_dataset import arrays_from_spatial_dataset
+    from diffgfdn_tpu.data.spatial_dataset import split_by_grid_resolution
+    from diffgfdn_tpu.data.batching import iterate_batches
+    from diffgfdn_tpu.training.spatial_trainer import (
+        build_spatial_model,
+        SpatialSamplingTrainer,
+    )
+
+    cfg = _config(tmp_path, directional=True, epochs=2)
+    arrays = arrays_from_spatial_dataset(spatial_room)
+    train_idx, valid_idx = split_by_grid_resolution(spatial_room, 1.2)
+    model = build_spatial_model(
+        cfg, spatial_room.num_rooms, spatial_room.ambi_order
+    )
+    example = next(
+        iterate_batches(arrays, train_idx, cfg.batch_size, shuffle=False)
+    )
+    params0 = model.init(jax.random.PRNGKey(0), example)
+
+    losses = {}
+    for scan in (True, False):
+        trainer = SpatialSamplingTrainer(
+            model, cfg, spatial_room, use_edc_loss=True
+        )
+        trainer.scan_epochs = scan
+        # fresh buffer copy: fit_indexed donates the incoming params
+        p = jax.tree_util.tree_map(lambda x: x.copy(), params0)
+        trainer.fit_indexed(p, arrays, train_idx, valid_idx, seed=3)
+        losses[scan] = (list(trainer.train_loss), list(trainer.valid_loss))
+    np.testing.assert_allclose(
+        losses[True][0], losses[False][0], rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        losses[True][1], losses[False][1], rtol=1e-6, atol=1e-7
+    )

@@ -335,3 +335,28 @@ def test_filtered_scan_filter_mode_coupling_matches_H():
 
     peak = np.max(np.abs(rir_fd))
     assert np.max(np.abs(rir_td - rir_fd)) < 2e-3 * peak
+
+
+def test_pallas_wide_spread_falls_back_to_scan(fdn_setup):
+    """A delay spread whose selection tensor cannot fit the VMEM budget at
+    any block size silently uses the XLA scan (identical recursion)."""
+    from diffgfdn_tpu.kernels.tdgfdn import (
+        _pallas_block_size,
+        delay_line_outputs,
+        delay_line_outputs_pallas,
+    )
+
+    del fdn_setup
+    rng = np.random.RandomState(2)
+    # 12 lines spanning ~50k samples: 12 * spread * 8 * 4 B > 12 MB budget
+    wide = tuple(np.linspace(100, 50000, 12).astype(int))
+    assert _pallas_block_size(wide) is None
+    a = jnp.asarray(np.linalg.qr(rng.randn(12, 12))[0] * 0.999, jnp.float32)
+    b = jnp.asarray(rng.randn(12), jnp.float32)
+    g = jnp.asarray(np.full(12, 0.9995, np.float32))
+    u = jnp.zeros(2048, jnp.float32).at[0].set(1.0)
+    got = np.asarray(
+        delay_line_outputs_pallas(wide, g, a, b, u, interpret=True)
+    )
+    want = np.asarray(delay_line_outputs(wide, g, a, b, u))
+    np.testing.assert_allclose(got, want, atol=1e-6)
