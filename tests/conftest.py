@@ -27,6 +27,21 @@ import pytest  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# Persistent XLA compilation cache: the quick subset is dominated by
+# compile time (most tests compile >1 s of programs once and run them in
+# milliseconds). Cache keys include the HLO module + compiler version, so
+# edited code recompiles and unchanged programs replay — warm reruns of
+# the quick subset drop from ~5 min to well under the 3-min inner-loop
+# budget. Override the location with DIFFGFDN_JAX_CACHE_DIR; set it empty
+# to disable.
+_cache_dir = os.environ.get(
+    "DIFFGFDN_JAX_CACHE_DIR",
+    os.path.join(os.path.dirname(__file__), ".jax_cache"),
+)
+if _cache_dir:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 # Central slow-test policy: long integration tests (>= ~9 s, mostly XLA
 # compile time) are marked `slow` here so `-m 'not slow'` gives a quick
