@@ -272,9 +272,18 @@ class SRIRSOFAWriter:
             )
             nc.var("ReceiverView", facing_y, ("R", "C", "I"), cart)
             nc.var("ReceiverUp", up_z, ("R", "C", "I"))
-            src = np.tile(
-                self.source_positions.reshape(1, 3).astype(np.float64), (m, 1)
-            )
+            # SourcePosition is (M, C): one source per measurement. A single
+            # shared source is broadcast across all M measurements; a
+            # per-measurement array is written as-is.
+            src = np.atleast_2d(self.source_positions).astype(np.float64)
+            if src.shape[0] == 1:
+                src = np.tile(src, (m, 1))
+            elif src.shape[0] != m:
+                raise ValueError(
+                    "SourcePosition must be one shared source or one per "
+                    f"measurement: got {src.shape[0]} sources for {m} "
+                    "measurements"
+                )
             nc.var("SourcePosition", src, ("M", "C"), cart)
             nc.var(
                 "SourceView", np.array([[1.0, 0.0, 0.0]]), ("I", "C"), cart

@@ -567,6 +567,13 @@ class BandParallelTrainer:
         key = jax.random.PRNGKey(seed)
         rng = np.random.RandomState(seed)
         max_epochs = max_epochs or self.cfg.max_epochs
+        vidx_mat = None
+        if vbs is not None and self.scan_epochs:
+            # validation indices are never shuffled: build once
+            vidx_mat = jnp.asarray(
+                np.stack(list(padded_batches(np.asarray(valid_idx), vbs))),
+                jnp.int32,
+            )
 
         nb_bands = self.num_bands
         active = np.ones(nb_bands, np.float32)
@@ -605,10 +612,6 @@ class BandParallelTrainer:
 
             v_epoch = None
             if vbs is not None and self.scan_epochs:
-                vidx_mat = jnp.asarray(
-                    np.stack(list(padded_batches(np.asarray(valid_idx), vbs))),
-                    jnp.int32,
-                )
                 key, vk = jax.random.split(key)
                 vtotals = vepoch_fn(
                     params, data, band_feats, self._band_resps_dev,

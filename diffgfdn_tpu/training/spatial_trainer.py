@@ -513,6 +513,30 @@ def run_training_spatial_sampling_cnn(
     return results
 
 
+def collapse_amplitudes_to_omni(
+    room_data: SpatialRoomDataset,
+) -> SpatialRoomDataset:
+    """Average a directional dataset's CS amplitudes over directions.
+
+    Omni training on a directional dataset collapses the direction axis
+    (axis 1 of ``(num_rec, num_directions, num_slopes[, num_bands])``);
+    the reference's omni runs load omni-reduced amplitude files instead
+    (spatial_sampling/dataloader.py keys omni vs directional on input).
+    Datasets without a direction axis (``sph_directions is None``) pass
+    through unchanged — a trailing band axis alone must NOT be collapsed.
+    """
+    if room_data.amplitudes is None or room_data.sph_directions is None:
+        return room_data
+    import copy
+
+    logger.info("collapsing directional amplitudes to omni (mean over "
+                "directions) for use_directional_rirs=false")
+    room_data = copy.copy(room_data)
+    room_data.amplitudes = room_data.amplitudes.mean(axis=1)
+    room_data.sph_directions = None
+    return room_data
+
+
 def run_training_spatial_sampling(
     config: SpatialSamplingConfig,
     room_data: Optional[SpatialRoomDataset] = None,
@@ -529,21 +553,8 @@ def run_training_spatial_sampling(
 
         room_data = SpatialThreeRoomDataset(config.room_dataset_path)
 
-    if (
-        not config.use_directional_rirs
-        and room_data.amplitudes is not None
-        and room_data.amplitudes.ndim == 3
-    ):
-        # omni training on a directional dataset: collapse the direction
-        # axis (the reference's omni runs load omni-reduced amplitude files;
-        # spatial_sampling/dataloader.py keys omni vs directional on input)
-        import copy
-
-        logger.info("collapsing directional amplitudes to omni (mean over "
-                    "directions) for use_directional_rirs=false")
-        room_data = copy.copy(room_data)
-        room_data.amplitudes = room_data.amplitudes.mean(axis=1)
-        room_data.sph_directions = None
+    if not config.use_directional_rirs:
+        room_data = collapse_amplitudes_to_omni(room_data)
 
     if config.network_type == DNNType.CNN:
         return run_training_spatial_sampling_cnn(

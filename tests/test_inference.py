@@ -2,6 +2,7 @@
 
 import jax
 import numpy as np
+import pytest
 
 from diffgfdn_tpu.inference import (
     add_direct_and_early_path,
@@ -142,6 +143,33 @@ def test_sofa_roundtrip(tmp_path):
     with h5py.File(tmp_path / "test.sofa", "r") as f:
         assert np.allclose(f["Data.IR"], irs)
         assert float(np.asarray(f["Data.SamplingRate"])[0]) == FS
+
+
+def test_sofa_writer_per_measurement_sources(tmp_path):
+    """A (M, 3) source array is written per-measurement, not reshaped.
+
+    Regression: the writer used to reshape(1, 3), crashing on any dataset
+    with more than one source position (SpatialRoomDataset supports
+    num_src > 1).
+    """
+    import h5py
+
+    rng = np.random.RandomState(1)
+    writer = SRIRSOFAWriter(num_receivers=3, ambi_order=1, ir_length=32,
+                            samplerate=FS)
+    writer.set_ir_data(rng.randn(3, 4, 32))
+    writer.set_receiver_positions(rng.rand(3, 3))
+    srcs = rng.rand(3, 3)
+    writer.set_source_positions(srcs)
+    writer.write_to_file(tmp_path / "multisrc.sofa")
+    with h5py.File(tmp_path / "multisrc.sofa", "r") as f:
+        assert np.allclose(f["SourcePosition"], srcs)
+
+    # a count that is neither 1 nor M is a clear error, not a crash deep
+    # inside np.tile
+    writer.set_source_positions(rng.rand(2, 3))
+    with pytest.raises(ValueError, match="SourcePosition"):
+        writer.write_to_file(tmp_path / "bad.sofa")
 
 
 def test_sofa_writer_netcdf4_conformance(tmp_path):

@@ -167,3 +167,53 @@ def test_spatial_fit_indexed_scan_matches_per_step(tmp_path, spatial_room):
     np.testing.assert_allclose(
         losses[True][1], losses[False][1], rtol=1e-6, atol=1e-7
     )
+
+
+def test_collapse_amplitudes_to_omni_guards_on_direction_axis():
+    """The omni collapse averages the DIRECTION axis, never slopes/bands.
+
+    Regression: the guard used to key on amplitudes.ndim == 3, which
+    collapsed the slopes axis of an omni+banded dataset and skipped
+    directional+banded (ndim 4) datasets entirely.
+    """
+    from diffgfdn_tpu.data.spatial_dataset import SpatialRoomDataset
+    from diffgfdn_tpu.training.spatial_trainer import (
+        collapse_amplitudes_to_omni,
+    )
+
+    rng = np.random.RandomState(0)
+    pos = rng.rand(5, 3)
+    rirs = rng.randn(5, 1, 16)
+    common = dict(
+        num_rooms=1,
+        sample_rate=8000.0,
+        source_position=np.array([[0.0, 0.0, 0.0]]),
+        receiver_position=pos,
+        rirs=rirs,
+        common_decay_times=np.array([0.1, 0.2]),
+        room_dims=[[3.0, 3.0, 3.0]],
+        room_start_coord=[[0.0, 0.0, 0.0]],
+    )
+
+    # directional + banded: (R, J=4, S=2, G=3) -> (R, S, G)
+    dir_banded = SpatialRoomDataset(
+        amplitudes=rng.rand(5, 4, 2, 3),
+        sph_directions=rng.rand(2, 4),
+        **common,
+    )
+    out = collapse_amplitudes_to_omni(dir_banded)
+    assert out.amplitudes.shape == (5, 2, 3)
+    np.testing.assert_allclose(
+        out.amplitudes, dir_banded.amplitudes.mean(axis=1)
+    )
+    assert out.sph_directions is None
+    # input untouched (copy semantics)
+    assert dir_banded.amplitudes.shape == (5, 4, 2, 3)
+
+    # omni + banded: (R, S=2, G=3) with NO direction axis -> unchanged
+    omni_banded = SpatialRoomDataset(
+        amplitudes=rng.rand(5, 2, 3), sph_directions=None, **common
+    )
+    out = collapse_amplitudes_to_omni(omni_banded)
+    assert out is omni_banded
+    assert out.amplitudes.shape == (5, 2, 3)
