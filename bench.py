@@ -757,7 +757,10 @@ def bench_binaural_render(backend: str = "host"):
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    return mod.measure(backend=backend)
+    # the device backend is a throughput path: use a long trajectory so
+    # the fixed ~45 ms tunnel round trip amortises (the host loop is
+    # latency-insensitive and linear in hops either way)
+    return mod.measure(backend=backend, hops=240 if backend == "jax" else 30)
 
 
 def bench_torch_cpu_svf(steps: int = 2):
