@@ -30,6 +30,11 @@ def main(argv=None):
         help="single-position fits: shard the rFFT bin axis over all "
         "visible devices (auto = on iff more than one device)",
     )
+    parser.add_argument(
+        "--profile-dir", default=None, metavar="DIR",
+        help="capture a jax.profiler timeline of the whole run into DIR "
+        "(view with TensorBoard/xprof)",
+    )
     args = parser.parse_args(argv)
     if args.resume and args.wipe_train_dir:
         parser.error("--resume and --wipe-train-dir are mutually exclusive")
@@ -47,6 +52,19 @@ def main(argv=None):
     with open(train_dir / "config_args.pickle", "wb") as f:
         pickle.dump(config.model_dump(mode="json"), f)
 
+    import contextlib
+
+    from ..utils.profiling import trace
+
+    stack = contextlib.ExitStack()
+    if args.profile_dir is not None:
+        stack.enter_context(trace(args.profile_dir))
+
+    with stack:
+        _dispatch(config, args, parser)
+
+
+def _dispatch(config, args, parser):
     from ..training.solver import (
         run_training_anisotropic_decay_var_receiver_pos,
         run_training_single_pos,

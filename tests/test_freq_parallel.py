@@ -129,3 +129,50 @@ colorless_fdn_config:
     assert not any(
         "sharding the rFFT bin axis" in r.message for r in caplog.records
     )
+
+
+def test_single_pos_cli_profile_dir(tmp_path):
+    """--profile-dir captures a jax.profiler timeline of the run."""
+    from diffgfdn_tpu.data.audio import write_wav
+
+    fs = 8000.0
+    nfft = 1024
+    rng = np.random.RandomState(3)
+    t = np.arange(nfft) / fs
+    rir = (rng.randn(nfft) * np.exp(-t * 40.0)).astype(np.float32)
+    wav = tmp_path / "ir_(1.00, 2.00, 1.50).wav"
+    write_wav(wav, rir, fs)
+    cfg_path = tmp_path / "cfg.yml"
+    cfg_path.write_text(f"""
+seed: 5
+ir_path: {wav}
+num_groups: 3
+sample_rate: {fs}
+num_delay_lines: 6
+delay_range_ms: [20, 29]
+trainer_config:
+  batch_size: 1
+  num_freq_bins: {nfft}
+  max_epochs: 1
+  lr: 1.0e-3
+  train_dir: {tmp_path / 'train'}
+output_filter_config:
+  use_svfs: false
+  num_hidden_layers: 1
+  num_neurons_per_layer: 8
+  num_fourier_features: 2
+decay_filter_config:
+  use_absorption_filters: false
+colorless_fdn_config:
+  use_colorless_prototype: false
+""")
+
+    from diffgfdn_tpu.cli.run_model import main
+
+    prof = tmp_path / "prof"
+    main(["-c", str(cfg_path), "--freq-parallel", "off",
+          "--profile-dir", str(prof)])
+    traces = list(prof.rglob("*.trace.json.gz")) + list(
+        prof.rglob("*.xplane.pb")
+    )
+    assert traces, f"no profiler artifacts under {prof}"
