@@ -64,10 +64,17 @@ def calculate_amplitudes_least_squares(
 ) -> np.ndarray:
     """Least-squares CS amplitudes per band from band-filtered RIRs.
 
-    Solves EDC_b(t) ~= sum_k A_kb exp(-t LOG10E6 / T_kb) (+ noise ramp) for
-    nonnegative A (NNLS). ``common_decay_times``: (n_slopes, n_bands) or
-    (n_slopes,); ``filtered_rir``: (n_samples, n_bands). Returns
-    (1, n_slopes, n_bands) matching the reference's axis convention.
+    NNLS fit of the Schroeder EDC against backward-integrated exponential
+    kernels (+ noise ramp). Returned amplitudes are in the ENERGY-ENVELOPE
+    convention used throughout this package (data/synthetic.py,
+    ops/basic.shaped_wgn): ``E[p^2](t) = sum_k a_kb exp(-t LOG10E6/T_kb)``,
+    so ``shaped_wgn(calculate_amplitudes_least_squares(rir))`` reproduces
+    the rir's EDC exactly in expectation (tested). EDC-convention
+    amplitudes (DecayFitNet-style, EDC = sum_k A exp) relate by
+    ``A_kb = a_kb * fs * T_kb / LOG10E6``. ``common_decay_times``:
+    (n_slopes, n_bands) or (n_slopes,); ``filtered_rir``:
+    (n_samples, n_bands). Returns (1, n_slopes, n_bands) matching the
+    reference's axis convention.
     """
     n_samples, n_bands = filtered_rir.shape
     cdt = np.asarray(common_decay_times, np.float64)
@@ -89,7 +96,10 @@ def calculate_amplitudes_least_squares(
             kernels.append(np.flip(np.arange(1, len(t) + 1)).astype(np.float64))
         K = np.stack(kernels, axis=-1)
         sol, _ = nnls(K, edc)
-        amps[0, :, b] = sol[:n_slopes] * (LOG10E6 / cdt[:, b]) / fs
+        # the kernels already carry the fs/tau backward-integration factor,
+        # so the raw solution IS the envelope amplitude (a spurious tau/fs
+        # rescale here used to distort the relative slope weights)
+        amps[0, :, b] = sol[:n_slopes]
     return amps
 
 

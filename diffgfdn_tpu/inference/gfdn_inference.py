@@ -293,6 +293,21 @@ class InferDiffGFDN:
         self._synth = make_rir_synthesis_fn(
             self.model, config.trainer_config.reduced_pole_radius
         )
+        self._amp_synth = None  # built on first rirs_with_amplitudes call
+        # subband models train against band-filtered targets; compensate
+        # the output level by the band filter's energy, as the reference
+        # does on every inference path (inference.py:123-127,231-232,473)
+        self.subband_filter_norm_factor = 1.0
+        spc = config.trainer_config.subband_process_config
+        if spc is not None:
+            filters, centers = reconstructing_fractional_octave_bands(
+                num_fractions=spc.num_fraction_octaves,
+                frequency_range=spc.frequency_range,
+                n_samples=2 ** 12,
+                sampling_rate=room_data.sample_rate,
+            )
+            b = filters[int(np.argmin(np.abs(centers - spc.centre_frequency)))]
+            self.subband_filter_norm_factor = subband_energy_compensation(b)
 
     def _arrays(self):
         tc = self.config.trainer_config
@@ -327,7 +342,7 @@ class InferDiffGFDN:
                     amp = np.concatenate([amp, amp[:1].repeat(pad, axis=0)])
                 rir = np.asarray(synth(self.params, batch, amp))
             outs.append(rir[:n_real])
-        return np.concatenate(outs, axis=0)
+        return self.subband_filter_norm_factor * np.concatenate(outs, axis=0)
 
     def rirs_at(self, rec_indices: np.ndarray, batch_size: int = 32) -> np.ndarray:
         """Synthesize RIRs at the given dataset receiver indices."""
@@ -360,12 +375,16 @@ class InferDiffGFDN:
                 f"amplitudes must have shape {expected} "
                 f"(one row per receiver index), got {amplitudes.shape}"
             )
-        synth = make_rir_synthesis_fn(
-            self.model,
-            self.config.trainer_config.reduced_pole_radius,
-            external_amplitudes=True,
+        if self._amp_synth is None:
+            # cache: building per call would retrace/recompile every time
+            self._amp_synth = make_rir_synthesis_fn(
+                self.model,
+                self.config.trainer_config.reduced_pole_radius,
+                external_amplitudes=True,
+            )
+        return self._batched_synth(
+            self._amp_synth, rec_indices, batch_size, amplitudes
         )
-        return self._batched_synth(synth, rec_indices, batch_size, amplitudes)
 
     def head_outputs(self, rec_indices: np.ndarray) -> Dict:
         """Per-position head outputs (gains / SVF params) at the indices."""
@@ -383,16 +402,15 @@ class InferDiffGFDN:
         return {k: np.asarray(v) for k, v in out.items()}
 
 
-def subband_energy_compensation(
-    band_filter: np.ndarray, num_freq_bins: int
-) -> float:
+def subband_energy_compensation(band_filter: np.ndarray) -> float:
     """Energy compensation for training on band-filtered targets.
 
-    The reference scales each band model's output by the inverse RMS of its
-    band filter over the training grid (inference.py:147-159 semantics).
+    The reference multiplies each band model's output by the L2 norm of
+    its band filter's FIR coefficients (inference.py:144-159
+    ``get_norm_factor``); applied by InferDiffGFDN whenever the config
+    carries a subband_process_config (inference.py:231-232, 473).
     """
-    resp = np.fft.rfft(band_filter, num_freq_bins)
-    return float(1.0 / np.sqrt(np.mean(np.abs(resp) ** 2) + 1e-12))
+    return float(np.sqrt(np.sum(np.asarray(band_filter) ** 2)))
 
 
 def merge_subband_rirs(
@@ -421,6 +439,24 @@ def merge_subband_rirs(
     return out
 
 
+def _band_reconstruction_filters(
+    configs: List[DiffGFDNConfig], sample_rate: float, fir_len: int
+) -> np.ndarray:
+    """Per-config reconstructing octave filters, nearest-centre matched."""
+    centre_freqs = [
+        c.trainer_config.subband_process_config.centre_frequency for c in configs
+    ]
+    frange = configs[0].trainer_config.subband_process_config.frequency_range
+    filters, centers = reconstructing_fractional_octave_bands(
+        num_fractions=1,
+        frequency_range=frange,
+        n_samples=fir_len,
+        sampling_rate=sample_rate,
+    )
+    band_idx = [int(np.argmin(np.abs(centers - fc))) for fc in centre_freqs]
+    return filters[band_idx]
+
+
 def infer_all_octave_bands(
     configs: List[DiffGFDNConfig],
     room_data: RoomDataset,
@@ -434,19 +470,9 @@ def infer_all_octave_bands(
     per-band outputs are band-filtered and summed (reference:
     run_subband_training_treble.py:207-375).
     """
-    centre_freqs = [
-        c.trainer_config.subband_process_config.centre_frequency for c in configs
-    ]
-    frange = configs[0].trainer_config.subband_process_config.frequency_range
-    filters, centers = reconstructing_fractional_octave_bands(
-        num_fractions=1,
-        frequency_range=frange,
-        n_samples=fir_len,
-        sampling_rate=room_data.sample_rate,
+    filters = _band_reconstruction_filters(
+        configs, room_data.sample_rate, fir_len
     )
-    band_idx = [int(np.argmin(np.abs(centers - fc))) for fc in centre_freqs]
-    filters = filters[band_idx]
-
     band_rirs = []
     for cfg in configs:
         infer = InferDiffGFDN(cfg, room_data, variant=variant)
@@ -470,19 +496,9 @@ def infer_all_octave_bands_directional(
     (reference: inference.py:290-881, infer_all_octave_bands_directional_fdn).
     Returns (num_pos, num_channels, T).
     """
-    centre_freqs = [
-        c.trainer_config.subband_process_config.centre_frequency for c in configs
-    ]
-    frange = configs[0].trainer_config.subband_process_config.frequency_range
-    filters, centers = reconstructing_fractional_octave_bands(
-        num_fractions=1,
-        frequency_range=frange,
-        n_samples=fir_len,
-        sampling_rate=room_data.sample_rate,
+    filters = _band_reconstruction_filters(
+        configs, room_data.sample_rate, fir_len
     )
-    band_idx = [int(np.argmin(np.abs(centers - fc))) for fc in centre_freqs]
-    filters = filters[band_idx]
-
     band_rirs = []
     for cfg in configs:
         infer = InferDiffGFDN(cfg, room_data, variant="directional")

@@ -10,7 +10,10 @@ def mse_loss(y_pred: jnp.ndarray, y_true: jnp.ndarray) -> jnp.ndarray:
 
 
 def amse_loss(y_pred: jnp.ndarray, y_true: jnp.ndarray) -> jnp.ndarray:
-    """Asymmetric MSE: overshoots above the target are raised to power 4."""
+    """Asymmetric MSE: the power-4 penalty kicks in once the magnitude
+    overshoot exceeds 1 (NOT for any overshoot — this mirrors the
+    reference's ``p_loss`` threshold, colorless_fdn/losses.py:66-68:
+    ``gT = 2 + 2*(|y_pred|-|y_true| > 1)``)."""
     diff = jnp.abs(y_pred) - jnp.abs(y_true)
     exponent = 2.0 + 2.0 * (diff > 1.0).astype(jnp.float32)
     return jnp.mean(jnp.power(jnp.abs(diff), exponent))

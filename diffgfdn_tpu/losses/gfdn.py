@@ -38,7 +38,7 @@ def _edc_pair(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """irfft both spectra and truncate to [mixing_time, max_ir_len]."""
     n = 2 * (target_response.shape[-1] - 1)
-    end = min(max_ir_len_samps, target_response.shape[-1])
+    end = min(max_ir_len_samps, n)
     target_rir = jnp.fft.irfft(target_response, n, axis=-1)[
         ..., mixing_time_samps:end
     ]
@@ -59,7 +59,11 @@ def edc_loss(
     """Mean |dB| difference between Schroeder EDCs of two spectra.
 
     ``band_responses``: optional (num_bands, F) complex subband filter
-    responses — the EDC is then averaged over per-band filtered versions.
+    responses — the loss is then summed over per-band filtered versions,
+    compared in LINEAR scale and with ``mask_key`` ignored: this mirrors
+    the reference's subband branch exactly (losses.py:241-281 accumulates
+    ``mean(|edc_t - edc_a|)`` without db() and computes-but-never-applies
+    its mask there; only the broadband branch is dB + masked).
     ``mask_key``: optional PRNG key for Bernoulli(U(0,1)) time masking
     (reference: losses.py:149-281). Responses may be (F,) or (B, F).
     """
@@ -308,7 +312,15 @@ def frequency_weighting(
     top: float = 2.0,
     bottom: float = 1.0,
 ) -> jnp.ndarray:
-    """Low-frequency-emphasis weights for the EDR loss (losses.py:419-428)."""
+    """Low-frequency-emphasis weights for the EDR loss (losses.py:419-428).
+
+    Weights fall from ``top`` (below ``cutoff_freq_hz``) to ``bottom``
+    (above it). NB the reference's call site (losses.py:426-428) passes
+    (bottom, top) into the helper's (top, bottom) slots, so its actual
+    weights RISE with frequency, contradicting its own "more weight on
+    the lower frequency loss" comment — we implement the documented
+    intent, not the swap.
+    """
     return scaled_shifted_sigmoid_inverse(
-        jnp.asarray(freqs_hz, jnp.float32), scale_factor, cutoff_freq_hz, bottom, top
+        jnp.asarray(freqs_hz, jnp.float32), scale_factor, cutoff_freq_hz, top, bottom
     )

@@ -160,9 +160,12 @@ def shaped_wgn(
 ) -> jnp.ndarray:
     """Synthesize RIR tails as white Gaussian noise shaped by CS envelopes.
 
-    ``amplitudes``: (..., num_slopes) common-slope (energy) amplitudes;
-    returns (..., num_samples) pressure signals whose EDC follows
-    ``sum_k A_k exp(-t LOG10E6 / T_k)``.
+    ``amplitudes``: (..., num_slopes) ENERGY-ENVELOPE amplitudes — the
+    package-wide convention (data/synthetic.py, analysis.py): the output's
+    per-sample energy is ``E[p^2](t) = sum_k a_k exp(-t LOG10E6 / T_k)``,
+    so its Schroeder EDC is ``sum_k a_k (fs T_k / LOG10E6) exp(...)`` —
+    per-slope constants absorbed when amplitudes come from
+    ``calculate_amplitudes_least_squares`` (roundtrip-tested).
 
     Replaces ``slope2noise.shaped_wgn`` (reference:
     spatial_sampling/inference.py:258-275). The noise is normalized per
@@ -181,9 +184,6 @@ def shaped_wgn(
         env = env + jnp.asarray(noise_floor, dtype=jnp.float32)[..., None]
     env = jnp.maximum(env, 0.0)
     noise = jax.random.normal(key, env.shape, dtype=jnp.float32)
-    # scale so that E[p^2](t) = env(t) * LOG10E6-independent constant;
-    # the EDC of the result then matches sum_k A_k exp(-t LOG10E6/T_k)
-    # up to the per-sample integration constant 1/fs.
     return noise * jnp.sqrt(env)
 
 

@@ -22,15 +22,23 @@ def stft(
 ) -> jnp.ndarray:
     """One-sided STFT without centering; frames on the last axis.
 
-    ``x``: (..., T). T is zero-padded up to a hop multiple, then framed with
-    n_frames = T'//hop - 1 full windows. Returns complex (..., F, n_frames).
+    ``x``: (..., T). T is zero-padded so full windows tile it exactly,
+    then framed with n_frames = (T' - win)//hop + 1 full windows
+    (torch.stft center=False semantics). Returns complex
+    (..., F, n_frames).
     """
     t = x.shape[-1]
-    pad = (-t) % hop_size
+    # pad so the last FULL window fits exactly: tp >= win and
+    # (tp - win) % hop == 0 (when hop divides win this is the plain
+    # round-up-to-hop-multiple; when it doesn't, rounding to a hop
+    # multiple used to over-count frames and gather past the buffer,
+    # silently clamping to the final sample)
+    pad = max(0, win_size - t)
+    pad += (-(t + pad - win_size)) % hop_size
     if pad:
         x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
     tp = x.shape[-1]
-    n_frames = tp // hop_size - (win_size // hop_size - 1)
+    n_frames = (tp - win_size) // hop_size + 1
     if window is None:
         window = jnp.hanning(win_size).astype(x.dtype)
     if win_size == 2 * hop_size:

@@ -188,7 +188,7 @@ class GFDNTrainer:
             # the achieved response feeding both losses
             n = 2 * (h.shape[-1] - 1)
             rir = jnp.fft.irfft(h, n, axis=-1)
-            end = min(self.max_ir_len_samps, h.shape[-1])
+            end = min(self.max_ir_len_samps, n)
             rir_trunc = rir[..., self.mixing_time_samps : end]
             all_losses["edc_loss"] = self.cfg.edc_loss_weight * edc_loss_from_rir(
                 batch["target_edc_db"], rir_trunc, mask_key=mask_key
@@ -689,7 +689,7 @@ class GFDNTrainer:
         def features(tgt_enc):
             tgt = (tgt_enc[..., 0] + 1j * tgt_enc[..., 1]).astype(jnp.complex64)
             n = 2 * (tgt.shape[-1] - 1)
-            end = min(self.max_ir_len_samps, tgt.shape[-1])
+            end = min(self.max_ir_len_samps, n)
             rir = jnp.fft.irfft(tgt, n, axis=-1)
             edc_db = db_fn(
                 schroeder_backward_int(rir[..., mix:end]), is_squared=True

@@ -41,6 +41,42 @@ def test_ls_amplitude_estimation_recovers_amplitudes():
     # the true ratio is ~3.3; octave filtering splits energy but the ratio
     # should be in the right ballpark for mid bands
     assert np.median(ratio) > 1.5
+    # (the exact envelope-convention contract is pinned broadband by
+    # test_amplitude_roundtrip_shaped_wgn_preserves_edc below; octave
+    # filtering makes per-band ratios too noisy for a tight check)
+
+
+def test_amplitude_roundtrip_shaped_wgn_preserves_edc():
+    """shaped_wgn(calculate_amplitudes_least_squares(rir)) matches the
+    rir's broadband EDC — the convention-coherence invariant tying
+    analysis.py to ops/basic.shaped_wgn."""
+    import jax
+
+    from diffgfdn_tpu.ops.basic import (
+        schroeder_backward_int,
+        shaped_wgn,
+    )
+
+    t60s = np.array([0.15, 0.35])
+    true_amps = np.array([1.0, 0.25])
+    n = 8192
+    rir = _cs_rir(t60s, true_amps, n, FS, seed=3)
+    # broadband fit: single "band" = the unfiltered rir
+    est = calculate_amplitudes_least_squares(
+        t60s, FS, rir[:, None], [1000.0], include_noise_term=False
+    )[0, :, 0]
+    np.testing.assert_allclose(est, true_amps, rtol=0.15)
+    synth = np.asarray(
+        shaped_wgn(est[None, :], t60s, n, FS, jax.random.PRNGKey(1))
+    )[0]
+    edc_true = 10 * np.log10(
+        np.asarray(schroeder_backward_int(rir, normalize=True)) + 1e-12
+    )
+    edc_synth = 10 * np.log10(
+        np.asarray(schroeder_backward_int(synth, normalize=True)) + 1e-12
+    )
+    keep = slice(0, int(0.3 * FS))  # above the -60 dB knee
+    assert np.max(np.abs(edc_true[keep] - edc_synth[keep])) < 2.0
 
 
 def test_get_amps_for_rir_shape():

@@ -145,6 +145,28 @@ def test_stft_shapes_and_parseval():
     assert s.shape == (2, 257, n_frames)
 
 
+def test_stft_non_dividing_hop_matches_direct_framing():
+    """win % hop != 0: frames must be real windows of the padded signal
+    (the gather used to run past the buffer and clamp-duplicate the final
+    sample into the last frames)."""
+    win, hop, t = 12, 5, 64
+    rng = np.random.RandomState(3)
+    x = rng.randn(t).astype(np.float32)
+    s = np.asarray(stft.stft(jnp.asarray(x), win_size=win, hop_size=hop))
+    # direct reference framing on the identically padded signal
+    pad = max(0, win - t)
+    pad += (-(t + pad - win)) % hop
+    xp = np.pad(x, (0, pad))
+    n_frames = (len(xp) - win) // hop + 1
+    w = np.hanning(win).astype(np.float32)
+    ref = np.stack(
+        [np.fft.rfft(xp[i * hop : i * hop + win] * w) for i in range(n_frames)],
+        axis=-1,
+    )
+    assert s.shape == ref.shape
+    np.testing.assert_allclose(s, ref, atol=1e-4)
+
+
 def test_edr_is_monotone_decreasing():
     rng = np.random.RandomState(2)
     x = jnp.asarray((rng.randn(4096) * np.exp(-np.arange(4096) / 800)).astype(np.float32))

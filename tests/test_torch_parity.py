@@ -172,3 +172,46 @@ def test_directional_edc_loss_sh_path_matches_directional_path():
         32, 380,
     ))
     assert abs(a - b_) < 1e-4 * max(1.0, abs(a)), (a, b_)
+
+
+def test_frequency_weighting_emphasizes_low_frequencies():
+    """EDR frequency weights fall from ~top below the cutoff to ~bottom
+    above it. Regression: the (top, bottom) arguments used to be passed
+    swapped — the same swap the reference's own call site has
+    (losses.py:426-428), contradicting its "more weight on the lower
+    frequency loss" intent — which emphasized HIGH frequencies instead."""
+    from diffgfdn_tpu.losses import frequency_weighting
+
+    freqs = np.linspace(0.0, 16000.0, 257)
+    w = np.asarray(frequency_weighting(freqs, cutoff_freq_hz=1e3,
+                                       top=2.0, bottom=1.0))
+    assert abs(w[0] - 2.0) < 0.1            # low end near top
+    assert abs(w[-1] - 1.0) < 0.05          # high end near bottom
+    assert np.all(np.diff(w) <= 1e-6)       # monotone decreasing
+
+
+def test_edc_loss_window_extends_past_bin_count():
+    """The EDC window is clamped at the irfft LENGTH 2(F-1), not at the
+    bin count F. Regression: a max_ir_len in (F, 2(F-1)] — the common
+    case, since num_freq_bins is the next pow2 of maxT60*fs — used to be
+    silently clamped to F, ignoring the last part of the decay."""
+    from diffgfdn_tpu.losses import edc_loss as jx_edc_loss
+
+    F = 513
+    n = 2 * (F - 1)  # 1024 time samples
+    rng = np.random.RandomState(0)
+    late = np.zeros(n, np.float32)
+    late[F + 50 : F + 60] = rng.randn(10).astype(np.float32)
+    target = np.fft.rfft(np.ones(n).astype(np.float32) * 1e-3, n)
+    achieved = np.fft.rfft(late + 1e-3, n)
+    # energy differing ONLY in samples (F, n): a window clamped at F sees
+    # identical signals and returns ~0
+    loss = float(
+        jx_edc_loss(
+            jnp.asarray(target.astype(np.complex64)),
+            jnp.asarray(achieved.astype(np.complex64)),
+            mixing_time_samps=0,
+            max_ir_len_samps=n,
+        )
+    )
+    assert loss > 1.0
