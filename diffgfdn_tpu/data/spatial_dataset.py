@@ -205,11 +205,14 @@ def arrays_from_spatial_dataset(
 def find_start_coords(room_data: SpatialRoomDataset) -> Tuple[np.ndarray, np.ndarray]:
     """First receiver location found in each room (split anchor points)."""
     nr = room_data.num_rooms
-    sx = -np.ones(nr)
-    sy = -np.ones(nr)
+    sx = np.empty(nr)
+    sy = np.empty(nr)
     for k in range(nr):
         rsx, rsy = room_data.room_start_coord[k][:2]
         w, h = room_data.room_dims[k][:2]
+        # default anchor: the room's own start coordinate (a room with no
+        # receivers must not poison splits with a -1 sentinel)
+        sx[k], sy[k] = rsx, rsy
         for idx in range(room_data.num_rec):
             x, y = room_data.receiver_position[idx, :2]
             if rsx <= x < rsx + w and rsy <= y < rsy + h:
@@ -234,16 +237,30 @@ def split_by_grid_resolution(
         return math.isclose(value / d, round(value / d), abs_tol=tol)
 
     sx, sy = find_start_coords(room_data)
-    train_idx, valid_idx = [], []
-    for idx in range(room_data.num_rec):
-        x, y = room_data.receiver_position[idx, :2]
-        room = -1
+
+    def room_of(x, y, eps=0.0):
         for k in range(room_data.num_rooms):
             rsx, rsy = room_data.room_start_coord[k][:2]
             w, h = room_data.room_dims[k][:2]
-            if rsx <= x < rsx + w and rsy <= y < rsy + h:
-                room = k
-                break
+            if rsx - eps <= x < rsx + w + eps and rsy - eps <= y < rsy + h + eps:
+                return k
+        return -1
+
+    train_idx, valid_idx = [], []
+    for idx in range(room_data.num_rec):
+        x, y = room_data.receiver_position[idx, :2]
+        room = room_of(x, y)
+        if room == -1:
+            # far-wall receivers (upper bounds are exclusive) get a second,
+            # tolerant pass; truly uncovered positions are a data error —
+            # indexing sx[-1] used to silently anchor them to the last room
+            room = room_of(x, y, eps=1e-6)
+        if room == -1:
+            raise ValueError(
+                f"receiver {idx} at ({x:g}, {y:g}) lies in no room "
+                "(room_start_coord/room_dims do not cover it) — cannot "
+                "anchor the grid split"
+            )
         xc, yc = x - sx[room], y - sy[room]
         if is_multiple(xc, x_d) and is_multiple(yc, x_d):
             train_idx.append(idx)
@@ -337,14 +354,13 @@ def generate_spatial_three_room_pickle(
     grid_spacing_m: float = 0.6,
     rir_len_s: float = 0.75,
     decay_times: Tuple[float, float, float] = (0.3, 0.6, 0.45),
-    num_directions: int = 12,
     seed: int = 0,
 ) -> Path:
     """Synthetic directional SRIR dataset on a uniform grid.
 
     Receivers lie on a uniform ``grid_spacing_m`` grid (so grid-resolution
-    splits work); amplitudes vary per direction and per room; RIRs are
-    2nd-order ambisonic shaped noise.
+    splits work); amplitudes vary per direction and per room (always the
+    12 t-design directions); RIRs are 2nd-order ambisonic shaped noise.
     """
     from ..ops.basic import LOG10E6
     from ..ops.sph import t_design_directions
@@ -397,7 +413,7 @@ def generate_spatial_three_room_pickle(
         "band_centre_hz": [1000.0],
         "common_decay_times": np.asarray(decay_times)[None, :],
         "amplitudes_norm": amps.T,
-        "noise_floor_norm": np.full((num_rec, num_directions, 1), 1e-6).T,
+        "noise_floor_norm": np.full((num_rec, amps.shape[1], 1), 1e-6).T,
         "directions": directions_deg,
     }
     path = Path(path)

@@ -15,7 +15,7 @@ from typing import List, Optional, Tuple
 import numpy as np
 from scipy.linalg import logm
 
-from ..config.schema import DiffGFDNConfig
+from ..config.schema import CouplingMatrixType, DiffGFDNConfig
 from ..models import (
     ColorlessFDN,
     DiffDirectionalFDNVarReceiverPos,
@@ -183,6 +183,19 @@ def build_gfdn_model(
 
     fl_cfg = config.feedback_loop_config
     out_cfg = config.output_filter_config
+    if (
+        config.trainer_config.use_colorless_loss
+        and CouplingMatrixType(fl_cfg.coupling_matrix_type)
+        is CouplingMatrixType.RANDOM
+    ):
+        # sub_fdn_output needs the per-group skew mixers (feedback_loop.M);
+        # an unstructured RANDOM matrix has no sub-FDN decomposition and
+        # would AttributeError at trace time otherwise
+        raise ValueError(
+            "use_colorless_loss requires block-structured coupling "
+            "(SCALAR/FILTER) — coupling_matrix_type=RANDOM has no per-group "
+            "sub-FDNs to evaluate the colorless loss on"
+        )
     common = dict(
         sample_rate=config.sample_rate,
         num_groups=config.num_groups,

@@ -53,7 +53,6 @@ class ColorlessFDNTrainer:
             )
             return spectral + self.cfg.alpha * sparsity_loss(a)
 
-        self._loss_train = jax.jit(lambda p, z: loss_fn(p, z, False))
         self._loss_valid = jax.jit(lambda p, z: loss_fn(p, z, True))
         self._grad = jax.jit(jax.value_and_grad(lambda p, z: loss_fn(p, z, False)))
 
@@ -126,7 +125,9 @@ class ColorlessFDNTrainer:
             )
 
             vtotal, vb = None, 0
-            for k in range(max(1, len(valid_idx) // vbs)):
+            # an empty validation split must skip cleanly (a forced
+            # iteration used to mean() over a zero-length batch -> NaN)
+            for k in range(max(1, len(valid_idx) // vbs) if len(valid_idx) else 0):
                 z = jnp.asarray(angles[valid_idx[k * vbs : (k + 1) * vbs]])
                 loss = self._loss_valid(params, z)
                 vtotal = loss if vtotal is None else vtotal + loss

@@ -21,6 +21,7 @@ from ..data.batching import (
 )
 from ..data.room_dataset import RIRData, RoomDataset, ThreeRoomDataset
 from ..losses.spatial import make_decay_envelopes
+from ..ops.basic import ms_to_samps
 from ..ops.filterbanks import subband_filter_response
 from ..utils.cio import init_with_batch
 from .build import (
@@ -57,7 +58,16 @@ def check_sample_rate(config: DiffGFDNConfig, dataset) -> None:
         )
 
 
-def _subband_resp(config: DiffGFDNConfig) -> Optional[np.ndarray]:
+def _subband_resp(
+    config: DiffGFDNConfig, num_freq_bins: Optional[int] = None
+) -> Optional[np.ndarray]:
+    """In-loss subband filter response on the TRAINING z grid.
+
+    ``num_freq_bins``: override for datasets whose rfft grid is derived
+    from the data (SpatialRoomDataset has no nfft override, so the config
+    value can disagree with the actual z length — the response must match
+    the grid the loss evaluates on).
+    """
     sb = config.trainer_config.subband_process_config
     if sb is None:
         return None
@@ -66,9 +76,20 @@ def _subband_resp(config: DiffGFDNConfig) -> Optional[np.ndarray]:
         sb.frequency_range,
         sb.num_fraction_octaves,
         config.sample_rate,
-        config.trainer_config.num_freq_bins,
+        num_freq_bins or config.trainer_config.num_freq_bins,
         use_amp_preserving=sb.use_amp_preserving_filterbank,
     )
+
+
+def _steps_per_epoch(num_train: int, batch_size: int) -> int:
+    """Match fit_indexed's padded_batches count: ceil(n / min(bs, n)).
+
+    A floored, unclamped count skews the StepLR epoch stride (early decay)
+    and resume's count offset.
+    """
+    n = max(1, num_train)
+    bs = min(batch_size, n)
+    return -(-n // bs)
 
 
 def run_training_colorless_fdn(
@@ -214,7 +235,7 @@ def run_training_var_receiver_pos(
     trainer = GFDNTrainer(
         model,
         tc,
-        steps_per_epoch=max(1, len(train_idx) // tc.batch_size),
+        steps_per_epoch=_steps_per_epoch(len(train_idx), tc.batch_size),
         common_decay_times=room_data.common_decay_times,
         subband_filter_resp=_subband_resp(config),
         sample_rate=config.sample_rate,
@@ -318,6 +339,7 @@ def run_training_single_pos(
             nfft=config.trainer_config.num_freq_bins,
         )
 
+    check_sample_rate(config, rir_data)
     colorless_params = None
     if config.colorless_fdn_config.use_colorless_prototype:
         colorless_params = run_training_colorless_fdn(
@@ -405,7 +427,12 @@ def run_training_anisotropic_decay_var_receiver_pos(
         variant="directional",
     )
     tc = config.trainer_config
-    arrays = arrays_from_spatial_dataset(room_data)
+    arrays = arrays_from_spatial_dataset(
+        room_data,
+        new_sampling_radius=(
+            None if tc.reduced_pole_radius == 1.0 else 1.0 / tc.reduced_pole_radius
+        ),
+    )
     indices = np.arange(arrays.num_items)
     if tc.grid_resolution_m is not None:
         from ..data.spatial_dataset import split_by_grid_resolution
@@ -423,7 +450,7 @@ def run_training_anisotropic_decay_var_receiver_pos(
 
     envelopes = make_decay_envelopes(
         np.asarray(room_data.common_decay_times).reshape(-1)[: config.num_groups],
-        ms_to_samps_safe(
+        ms_to_samps(
             float(np.max(room_data.common_decay_times)) * 1e3, config.sample_rate
         ),
         config.sample_rate,
@@ -431,9 +458,9 @@ def run_training_anisotropic_decay_var_receiver_pos(
     trainer = DirectionalGFDNTrainer(
         model,
         tc,
-        steps_per_epoch=max(1, len(train_idx) // tc.batch_size),
+        steps_per_epoch=_steps_per_epoch(len(train_idx), tc.batch_size),
         common_decay_times=room_data.common_decay_times,
-        subband_filter_resp=_subband_resp(config),
+        subband_filter_resp=_subband_resp(config, room_data.num_freq_bins),
         sample_rate=config.sample_rate,
         directional_envelopes=np.asarray(envelopes),
     )
@@ -446,6 +473,3 @@ def run_training_anisotropic_decay_var_receiver_pos(
     save_loss(trainer.train_loss, trainer.valid_loss, tc.train_dir)
     return trainer, params
 
-
-def ms_to_samps_safe(ms: float, fs: float) -> int:
-    return int(ms * 1e-3 * fs)

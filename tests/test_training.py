@@ -298,3 +298,63 @@ def test_padded_batches_covers_every_item():
     assert len(only) == 4 and set(only[:3]) == {0, 1, 2}
     # empty: no batches
     assert list(padded_batches(np.arange(0), 4)) == []
+
+
+def test_steps_per_epoch_matches_padded_batches():
+    """The LR schedule's steps_per_epoch must equal fit_indexed's actual
+    padded-batch count (a floored, unclamped count decayed the LR early)."""
+    from diffgfdn_tpu.training.solver import _steps_per_epoch
+    from diffgfdn_tpu.training.trainer import padded_batches
+
+    for n, bs in [(50, 16), (3, 16), (32, 32), (33, 32), (1, 8)]:
+        idx = np.arange(n)
+        actual = len(list(padded_batches(idx, min(bs, max(1, n)))))
+        assert _steps_per_epoch(n, bs) == actual, (n, bs)
+
+
+def test_colorless_trainer_empty_valid_split_no_nan(tmp_path):
+    cfg = small_config(tmp_path)
+    cfg.colorless_fdn_config.max_epochs = 1
+    cfg.colorless_fdn_config.batch_size = 64
+    cfg.colorless_fdn_config.train_valid_split = 1.0  # empty valid split
+    model = build_colorless_fdn(cfg, 0)
+    trainer = ColorlessFDNTrainer(
+        model, cfg.colorless_fdn_config, str(tmp_path / "colorless_nv")
+    )
+    import jax
+
+    z0 = np.exp(1j * np.linspace(0, np.pi, 16)).astype(np.complex64)
+    params = model.init(jax.random.PRNGKey(0), z0)
+    trainer.fit(params, num_freq_samples=128, seed=0)
+    assert np.isfinite(trainer.train_loss).all()
+    assert np.isfinite(trainer.valid_loss).all()
+
+
+def test_colorless_loss_with_random_coupling_rejected(tmp_path, room):
+    """RANDOM coupling has no sub-FDN decomposition; use_colorless_loss
+    must fail fast at build time, not AttributeError at trace time."""
+    import pytest
+
+    from diffgfdn_tpu.training.build import build_gfdn_model
+
+    cfg = small_config(tmp_path, use_colorless_loss=True)
+    cfg.feedback_loop_config.coupling_matrix_type = "random_matrix"
+    with pytest.raises(ValueError, match="RANDOM"):
+        build_gfdn_model(cfg, common_decay_times=room.common_decay_times)
+
+
+def test_single_pos_sample_rate_mismatch_rejected(tmp_path):
+    import pytest
+
+    from diffgfdn_tpu.data.room_dataset import RIRData
+    from diffgfdn_tpu.training.solver import run_training_single_pos
+
+    cfg = small_config(tmp_path)  # config says 8 kHz
+    rir = RIRData(
+        rir=np.random.RandomState(0).randn(2048).astype(np.float32),
+        sample_rate=48000.0,
+        common_decay_times=np.array([0.1, 0.1, 0.1]),
+        nfft=1024,
+    )
+    with pytest.raises(ValueError, match="sample_rate"):
+        run_training_single_pos(cfg, rir_data=rir)
