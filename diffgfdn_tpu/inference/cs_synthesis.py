@@ -173,13 +173,25 @@ def get_rirs_from_common_slopes_model(
     ``amplitudes``: (num_pos, num_slopes, num_bands) omni, or
     (num_pos, num_directions, num_slopes, num_bands) directional
     (reference: spatial_sampling/inference.py:218-294).
+    ``common_decay_times``: (num_slopes,) broadband, or 2-D in the
+    DATASET layout (num_bands, num_slopes) — the square num_bands ==
+    num_slopes case is resolved as the dataset layout, not by a shape
+    heuristic (which silently mis-paired each band's T60s).
     """
     key = jax.random.PRNGKey(seed)
     cdt = np.asarray(common_decay_times)
+    nb, ns = len(freq_bands), amplitudes.shape[-2]
     if cdt.ndim == 1:
+        cdt_slopes = cdt  # (S,): broadband slopes
+    elif cdt.shape == (nb, ns):
+        cdt_slopes = cdt.T  # dataset layout -> (S, B)
+    elif cdt.shape == (ns, nb):
         cdt_slopes = cdt
     else:
-        cdt_slopes = cdt.T if cdt.shape[0] != amplitudes.shape[-2] else cdt
+        raise ValueError(
+            f"common_decay_times shape {cdt.shape} matches neither "
+            f"(num_bands={nb}, num_slopes={ns}) nor its transpose"
+        )
 
     if ambi_order is not None:
         num_dirs = des_directions.shape[-1]

@@ -326,9 +326,12 @@ def convert_srir_to_brir(
     """
     ambi_order = int(np.sqrt(srirs.shape[1]) - 1)
     num_pos = srirs.shape[0]
-    nfft = int(2 ** np.ceil(np.log2(srirs.shape[-1])))
-
     hrir_sh = hrtf_reader.get_spherical_harmonic_representation(ambi_order)
+    # nfft covers the FULL linear convolution length T + hrir_len - 1
+    # (the reference sizes to the SRIR alone, sofa_parser.py:467, wrapping
+    # the conv tail onto the BRIR's direct-sound region — fixed here)
+    conv_len = srirs.shape[-1] + hrir_sh.shape[-1] - 1
+    nfft = int(2 ** np.ceil(np.log2(conv_len)))
     ambi_rtfs = np.fft.rfft(srirs, nfft, axis=-1)  # (P, Q, F)
     ambi_hrtfs = np.fft.rfft(hrir_sh, nfft, axis=-1)  # (Q, 2, F)
 
@@ -342,5 +345,9 @@ def convert_srir_to_brir(
     )  # (O, Q, Q)
     # rotated[p, o, f, q] = sum_n rtf[p, n, f] rot[o, q, n]
     rotated = np.einsum("pnf,oqn->pofq", ambi_rtfs, rots)
+    # NB conj(HRTF): the reference beamforms with the conjugated HRTF
+    # spectra (sofa_parser.py:498, sound_examples.py:466) — for the real
+    # HRIR-SH sets used here that is convolution with the time-REVERSED
+    # HRIRs. Kept for output parity with the reference.
     brtf = np.einsum("nrf,pofn->pofr", np.conj(ambi_hrtfs), rotated)
     return np.fft.irfft(brtf, nfft, axis=-2)

@@ -44,9 +44,28 @@ def get_output_from_trained_model(
     if params is None:
         raise FileNotFoundError(f"Trained model does not exist under {ckpt_dir}")
 
-    # build query batch from nearest dataset entries (positions can be new)
-    query = copy.deepcopy(room_data)
-    query.update_receiver_pos(np.asarray(rec_pos_list))
+    trainer = SpatialSamplingTrainer(
+        model, config, room_data, use_edc_loss=False,
+        grid_resolution_m=grid_resolution_m,
+    )
+
+    from ..config.schema import DNNType
+
+    if config.network_type == DNNType.CNN:
+        # the CNN predicts on the full 2-D floor-plan grid: run it once
+        # and nearest-sample the grid cells at the query positions
+        # (an MLP-style batch would KeyError on 'mesh_2d')
+        from ..training.spatial_trainer import make_cnn_batch
+
+        batch = make_cnn_batch(room_data)
+        grid_amps = trainer.predict_amplitudes(params, batch)
+        cells = batch["mesh_2d_raw"].reshape(-1, 2)  # (H*W, 2)
+        q = np.asarray(rec_pos_list, np.float32)[:, :2]
+        nearest = np.argmin(
+            np.linalg.norm(cells[None, :, :] - q[:, None, :], axis=-1), axis=1
+        )
+        return np.asarray(grid_amps)[nearest]  # leading axis is H*W cells
+
     # normalized coords relative to the ORIGINAL grid extents
     lo = room_data.receiver_position.min(axis=0)
     hi = room_data.receiver_position.max(axis=0)
@@ -58,10 +77,6 @@ def get_output_from_trained_model(
             (len(rec_pos_list),) + room_data.amplitudes.shape[1:], np.float32
         ),
     }
-    trainer = SpatialSamplingTrainer(
-        model, config, room_data, use_edc_loss=False,
-        grid_resolution_m=grid_resolution_m,
-    )
     return trainer.predict_amplitudes(params, batch)
 
 
@@ -94,7 +109,7 @@ def get_soundfield_from_trained_model(
         )
     amplitudes = np.stack(amps, axis=-1)  # (..., num_bands)
 
-    cdt = np.squeeze(np.asarray(room_data.common_decay_times))
+    cdt = np.asarray(room_data.common_decay_times)
     # directional iff the trained heads emit per-direction amplitudes
     # (an omni model trained on a directional dataset yields (P, G, bands))
     is_directional = (
@@ -152,11 +167,20 @@ def get_ambisonic_rirs(
     else:
         idx = full_band_room_data.find_rec_idx(np.asarray(rec_pos_list))
         amps = full_band_room_data.amplitudes[idx]
-        # ensure (P, J, slopes, bands)
-        if amps.ndim == 3:
-            amps = amps[..., None]
+        # directional iff the dataset carries directions (ambi_order alone
+        # is set even for omni pickles); shape to (P, J, S, B) directional
+        # or (P, S, B) omni
+        is_directional = full_band_room_data.sph_directions is not None
+        want_ndim = 4 if is_directional else 3
+        if amps.ndim == want_ndim - 1:
+            amps = amps[..., None]  # add the band axis
+        if amps.ndim != want_ndim:
+            raise ValueError(
+                f"amplitudes shape {amps.shape} inconsistent with "
+                f"{'directional' if is_directional else 'omni'} dataset"
+            )
         freq_bands = list(np.atleast_1d(full_band_room_data.band_centre_hz))
-        cdt = np.squeeze(np.asarray(full_band_room_data.common_decay_times))
+        cdt = np.asarray(full_band_room_data.common_decay_times)
         rirs = get_rirs_from_common_slopes_model(
             cs_room.sample_rate,
             np.asarray(rec_pos_list),
@@ -164,7 +188,7 @@ def get_ambisonic_rirs(
             ir_len,
             amps,
             cdt,
-            ambi_order=cs_room.ambi_order,
+            ambi_order=cs_room.ambi_order if is_directional else None,
             des_directions=cs_room.sph_directions,
             beamformer_type=None,
             apply_spatial_bandlimiting=apply_spatial_bandlimiting,

@@ -6,6 +6,7 @@ walks epochs backwards until a checkpoint exists (the reference's
 robustness idiom, spatial_sampling/solver.py:101-118).
 """
 
+import logging
 import os
 import pickle
 from pathlib import Path
@@ -13,6 +14,8 @@ from typing import Any, Optional
 
 import jax
 import numpy as np
+
+logger = logging.getLogger("diffgfdn_tpu")
 
 
 def _to_numpy(tree):
@@ -114,5 +117,11 @@ def load_latest_checkpoint_with_epoch(
     for e in range(max_epoch, -2, -1):
         path = checkpoint_path(train_dir, e)
         if path.exists():
-            return load_checkpoint(train_dir, e), e
+            try:
+                return load_checkpoint(train_dir, e), e
+            except Exception as exc:  # corrupt/partial file: keep walking
+                logger.warning(
+                    "checkpoint %s unreadable (%r) — falling back to the "
+                    "previous epoch", path, exc,
+                )
     return None

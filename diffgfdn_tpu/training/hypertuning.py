@@ -151,13 +151,31 @@ def mlp_hyperparameter_tuning(
     if sampler in ("tpe", "random"):
         seen = set()
         results = []
+        all_layers, all_neurons = _search_space(tcfg)
+        space_size = len(all_layers) * len(all_neurons)
         for trial in range(num_trials):
-            if sampler == "tpe":
-                layers, neurons = tpe_propose(rng, tcfg, results, seen)
-            else:
-                layers, neurons = sample_trial(rng, tcfg)
-            if (layers, neurons) in seen:
-                continue
+            if len(seen) >= space_size:
+                # every configuration evaluated: the search is complete
+                logger.info(
+                    "search space exhausted after %d unique trials", len(seen)
+                )
+                break
+            # duplicates are re-drawn, not silently charged to the budget
+            # (the reference's optuna study evaluates num_trials trials)
+            for _ in range(100):
+                if sampler == "tpe":
+                    layers, neurons = tpe_propose(rng, tcfg, results, seen)
+                else:
+                    layers, neurons = sample_trial(rng, tcfg)
+                if (layers, neurons) not in seen:
+                    break
+            else:  # sampler keeps proposing seen points: pick any unseen
+                layers, neurons = next(
+                    (int(l), int(n))
+                    for l in all_layers
+                    for n in all_neurons
+                    if (int(l), int(n)) not in seen
+                )
             seen.add((layers, neurons))
             cand = config.model_copy(deep=True)
             cand.output_filter_config.num_hidden_layers = layers

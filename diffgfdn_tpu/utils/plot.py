@@ -265,7 +265,7 @@ def plot_polynomial_matrix_ir(
     poly = np.asarray(poly)
     order, n, _ = poly.shape
     t = np.arange(order) / fs
-    fig, ax = plt.subplots(n, n, figsize=(8, 5), sharex=True)
+    fig, ax = plt.subplots(n, n, figsize=(8, 5), sharex=True, squeeze=False)
     for i in range(n):
         for j in range(n):
             y = db_np(np.abs(poly[:, i, j]) + 1e-12) if plot_db else poly[:, i, j]
@@ -290,7 +290,8 @@ def plot_polynomial_matrix_magnitude(
     resp, w = polynomial_matrix_response(poly, num_bins)
     n = resp.shape[-1]
     freq_hz = 0.5 * fs * w
-    fig, ax = plt.subplots(n, n, figsize=(8, 5), sharex=True, sharey=True)
+    fig, ax = plt.subplots(n, n, figsize=(8, 5), sharex=True, sharey=True,
+                           squeeze=False)
     for i in range(n):
         for j in range(n):
             ax[i, j].semilogx(
@@ -478,8 +479,10 @@ def plot_beamformer_map(
     polar) grid, contour per slope/group.
 
     ``est_amps``: (num_directions, num_groups) at the position of interest;
-    ``sph_directions``: (2, num_directions) [azimuth; polar].
-    Returns the db limits used (reusable across figures).
+    ``sph_directions``: (2, num_directions) [azimuth; ELEVATION] — the
+    dataset convention shared by every other consumer (models/spatial.py
+    build_analysis_matrix, cs_synthesis, convert_dataset); converted to
+    colatitude here. Returns the db limits used (reusable across figures).
     """
     from ..ops.sph import sh_matrix
 
@@ -489,7 +492,9 @@ def plot_beamformer_map(
     polar = np.linspace(0.0, np.pi, grid_size[1])
     azi_g, pol_g = np.meshgrid(azi, polar)
 
-    y_orig = sh_matrix(ambi_order, sph_directions[0], sph_directions[1])
+    y_orig = sh_matrix(
+        ambi_order, sph_directions[0], np.pi / 2 - sph_directions[1]
+    )
     y_dense = sh_matrix(ambi_order, azi_g.ravel(), pol_g.ravel())
     weights = (y_orig.T / num_dirs) @ est_amps  # (n_sh, n_groups)
     interp = (y_dense @ weights).reshape(*azi_g.shape, -1)

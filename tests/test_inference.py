@@ -291,7 +291,11 @@ def test_convert_srir_to_brir(tmp_path):
     srirs = rng.randn(2, 9, 128)
     oris = np.array([[0.0, 0.0], [np.pi / 2, 0.0]])
     brirs = convert_srir_to_brir(srirs, reader, oris)
-    assert brirs.shape == (2, 2, 128, 2)
+    # nfft covers the FULL conv length T + hrir_len - 1 (no circular
+    # wraparound onto the direct-sound region, unlike the reference)
+    hrir_len = reader.get_spherical_harmonic_representation(2).shape[-1]
+    nfft = int(2 ** np.ceil(np.log2(128 + hrir_len - 1)))
+    assert brirs.shape == (2, 2, nfft, 2)
     assert np.isfinite(brirs).all()
 
 

@@ -246,7 +246,9 @@ def test_beamformer_map(tmp_path):
     from diffgfdn_tpu.ops.sph import t_design_directions
     from diffgfdn_tpu.utils.plot import plot_beamformer_map
 
-    dirs = t_design_directions(5)  # (2, J)
+    tdes = t_design_directions(5)  # (2, J): (azimuth, colatitude)
+    # plot_beamformer_map takes the dataset convention (azimuth, ELEVATION)
+    dirs = np.stack([tdes[0], np.pi / 2 - tdes[1]])
     rng = np.random.RandomState(0)
     amps = rng.rand(dirs.shape[1], 3)
     limits = plot_beamformer_map(

@@ -126,6 +126,19 @@ def test_cnn_training_path(tmp_path, spatial_room):
     assert np.isfinite(trainer.train_loss).all()
     assert trainer.train_loss[-1] < trainer.train_loss[0]
 
+    # checkpoint inference on a CNN config: full-grid prediction +
+    # nearest-cell sampling (an MLP-style batch used to KeyError on
+    # 'mesh_2d')
+    from diffgfdn_tpu.inference.spatial_inference import (
+        get_output_from_trained_model,
+    )
+
+    amps = get_output_from_trained_model(
+        cfg, spatial_room, spatial_room.receiver_position[:5], 0.6
+    )
+    assert amps.shape[0] == 5
+    assert np.isfinite(amps).all()
+
 
 def test_spatial_fit_indexed_scan_matches_per_step(tmp_path, spatial_room):
     """fit_indexed with scan_epochs True/False trains identically (the
