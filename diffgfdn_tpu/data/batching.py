@@ -132,7 +132,12 @@ def iterate_batches(
     if rem and not drop_last:
         tail = idx[num_full * batch_size :]
         if pad_to_batch:
-            tail = np.concatenate([tail, idx[: batch_size - rem]])
+            # tile so the fill works even when len(idx) < batch_size
+            # (a single concat of idx[:batch_size-rem] underfilled then,
+            # breaking the static-shape contract)
+            reps = int(np.ceil((batch_size - rem) / max(n, 1)))
+            fill = np.tile(idx, reps)[: batch_size - rem]
+            tail = np.concatenate([tail, fill])
         yield gather_batch(arrays, tail)
 
 

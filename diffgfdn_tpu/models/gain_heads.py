@@ -183,7 +183,13 @@ class GainsFromMLP(nn.Module):
                 self.num_hidden_layers, self.num_neurons, self.num_groups, 1, 1
             )(feats)
         else:
-            mesh_inp, _, rec_idx = one_hot_mesh_encoding(x["mesh_2d"], position)
+            # mesh_2d is in METERS: the nearest-point lookup must use the
+            # raw listener position (this head's default position_key is
+            # the [0,1]-normalized one, which collapsed every receiver
+            # onto the origin-corner mesh point)
+            mesh_inp, _, rec_idx = one_hot_mesh_encoding(
+                x["mesh_2d"], x["listener_position"]
+            )
             out_all = MLP(
                 self.num_hidden_layers, self.num_neurons, self.num_groups, 1, 1
             )(mesh_inp)

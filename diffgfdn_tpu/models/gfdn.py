@@ -49,7 +49,13 @@ from .spatial import DirectionalBeamformerWeightsMLP
 
 
 def _io_gain_init(num_delay_lines: int):
-    """(2*randn - 1)/N initializer used for b and c (reference model.py:100)."""
+    """(2*randn - 1)/N initializer used for b and c (reference model.py:100-106).
+
+    NB the reference really does use randn (normal), not rand — the 2x-1
+    shift therefore gives a biased N(-1/N, (2/N)^2) init, which looks like
+    a uniform->normal slip on their side but is mirrored here for
+    training-trajectory parity.
+    """
 
     def init(key):
         return (

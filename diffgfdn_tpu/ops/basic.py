@@ -241,6 +241,12 @@ def normalized_echo_density(
 
 
 def hann_fade_windows(win_len_samps: int) -> Tuple[np.ndarray, np.ndarray]:
-    """(fade_in, fade_out) half-Hann windows for early/late RIR splits."""
+    """(fade_in, fade_out) half-Hann windows for early/late RIR splits.
+
+    Both halves have length win_len_samps // 2 (an odd length drops the
+    window's centre sample — asymmetric halves used to crash the split's
+    broadcast at odd ms-to-sample conversions).
+    """
+    half = win_len_samps // 2
     window = np.hanning(win_len_samps)
-    return window[: win_len_samps // 2], window[win_len_samps // 2 :]
+    return window[:half], window[win_len_samps - half:]

@@ -105,6 +105,16 @@ def design_geq(
         np.logspace(np.log10(1.0), np.log10(fs / 2.1), num_control + 1)
     )
     target_freqs = np.concatenate(([1.0], np.asarray(center_freq), [fs / 2.1]))
+    if np.any(np.diff(target_freqs) <= 0):
+        # band centres reaching past fs/2.1 (e.g. 16 kHz bands at fs=32k)
+        # make xp non-monotonic, for which np.interp silently returns
+        # nonsense — keep only the strictly increasing prefix and anchor
+        # the top with the last in-range band's target
+        keep = np.concatenate(
+            ([True], np.diff(target_freqs) > 0)
+        )
+        target_freqs = target_freqs[keep]
+        target_gain_db = target_gain_db[keep]
     target_interp = np.interp(control_freq, target_freqs, target_gain_db)
 
     # probe a 10 dB prototype to build the interaction matrix (dB per dB)

@@ -129,13 +129,22 @@ class GFDNTrainer:
         self.edr_hop = self.edr_win // 2
 
         self.erb_filters = None
+        erb_centres = None
         if trainer_config.use_erb_edr_loss:
-            fb, _ = erb_filterbank(self.sample_rate, self.edr_win, 2 ** 6)
+            fb, erb_centres = erb_filterbank(
+                self.sample_rate, self.edr_win, 2 ** 6
+            )
             self.erb_filters = jnp.asarray(fb, jnp.float32)
         self.freq_weights = None
         if trainer_config.use_frequency_weighting:
-            freqs = np.fft.rfftfreq(self.edr_win, d=1.0 / self.sample_rate)
-            self.freq_weights = frequency_weighting(freqs)
+            # with ERB grouping the EDR frequency axis is the 64 ERB band
+            # centres, not the rfft grid — the weights must share that axis
+            freqs = (
+                erb_centres
+                if erb_centres is not None
+                else np.fft.rfftfreq(self.edr_win, d=1.0 / self.sample_rate)
+            )
+            self.freq_weights = frequency_weighting(np.asarray(freqs))
 
         self.train_loss: List[float] = []
         self.valid_loss: List[float] = []
@@ -425,6 +434,12 @@ class GFDNTrainer:
             opt_state = jax.tree_util.tree_map(jnp.asarray, resumed_opt_state)
         key = jax.random.PRNGKey(seed)
         data = self.upload_arrays(arrays)
+        if len(train_idx) == 0:
+            raise ValueError(
+                "no training items: train_idx is empty (check "
+                "train_valid_split / dataset size) — training would "
+                "silently run zero steps"
+            )
         bs = min(self.cfg.batch_size, max(1, len(train_idx)))
         vbs = min(self.cfg.batch_size, max(1, len(valid_idx)))
 
@@ -540,8 +555,12 @@ class GFDNTrainer:
                 time.time() - ep_start,
             )
             # guard on HISTORY length, not epoch number: a resumed run's
-            # loop starts at epoch >= 1 with an empty history
-            if len(self.valid_loss) >= 2:
+            # loop starts at epoch >= 1 with an empty history. An EMPTY
+            # validation set pins valid_loss at the 0.0 placeholder, which
+            # must not trip early stopping (it would always stop at epoch
+            # `patience`)
+            has_valid = valid_idx is not None and len(valid_idx) > 0
+            if has_valid and len(self.valid_loss) >= 2:
                 if abs(self.valid_loss[-2] - self.valid_loss[-1]) <= self.early_stop_tol:
                     self._early_stop += 1
                 else:
@@ -655,7 +674,9 @@ class GFDNTrainer:
                 time.time() - ep_start,
             )
 
-            if len(self.valid_loss) >= 2:
+            # n_valid == 0 leaves valid_loss at the 0.0 placeholder, which
+            # must not trip early stopping
+            if n_valid > 0 and len(self.valid_loss) >= 2:
                 if abs(self.valid_loss[-2] - self.valid_loss[-1]) <= self.early_stop_tol:
                     self._early_stop += 1
                 else:
