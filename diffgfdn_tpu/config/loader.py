@@ -18,7 +18,10 @@ def load_and_validate_config(path: Union[str, Path], model: Type[T]) -> T:
 
 def dump_config(config: BaseModel, path: Union[str, Path]) -> None:
     """Write a config back to YAML (used by programmatic per-band configs)."""
-    data = config.model_dump(mode="json", exclude_none=True)
+    # keep explicit Nones: exclude_none made fields set to null resurrect
+    # as non-None defaults on reload (e.g. input_filter_config: null turned
+    # back into a default SVF head), so round-trips changed the model
+    data = config.model_dump(mode="json")
     # computed fields are derived; do not persist them
     for key in ("delay_length_samps", "network_type", "load_fixed_parameters"):
         data.pop(key, None)

@@ -157,7 +157,14 @@ class TrainerConfig(BaseModel):
         `alias_attenuation_db` at the end of the nfft-long IR
         (reference: config/config.py:172-182).
         """
-        if self.alias_attenuation_db is not None and self.num_freq_bins is not None:
+        if self.alias_attenuation_db is not None:
+            if self.num_freq_bins is None:
+                raise ValueError(
+                    "alias_attenuation_db requires num_freq_bins: the "
+                    "reduced pole radius is 10^(-attn/nfft/20) and nothing "
+                    "recomputes it once nfft is derived from the dataset — "
+                    "the requested attenuation would be silently dropped"
+                )
             self.reduced_pole_radius = 10 ** (
                 -abs(self.alias_attenuation_db) / self.num_freq_bins / 20
             )
@@ -235,6 +242,14 @@ class DiffGFDNConfig(BaseModel):
         rand_primes = np.asarray(primes, dtype=np.int64)[
             rng.permutation(len(primes))
         ]
+        if len(rand_primes) < self.num_delay_lines - 1:
+            raise ValueError(
+                f"delay_range_ms={list(self.delay_range_ms)} at "
+                f"fs={self.sample_rate:g} contains only {len(rand_primes)} "
+                f"primes but num_delay_lines={self.num_delay_lines} needs "
+                f"{self.num_delay_lines - 1} — widen the range (a silent "
+                "truncation would break the per-group channel layout)"
+            )
         delays = list(rand_primes[: self.num_delay_lines - 1])
         delays.append(_next_prime(hi))
         return [int(d) for d in delays]

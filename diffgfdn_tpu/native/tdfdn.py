@@ -32,12 +32,20 @@ def _build_library() -> Path:
     lib_path = cache / "libtdfdn.so"
     if lib_path.exists() and lib_path.stat().st_mtime >= _SRC.stat().st_mtime:
         return lib_path
+    # compile to a process-unique temp name and os.replace into place:
+    # another process dlopening a half-written .so loads garbage (the
+    # in-process _LOCK cannot guard concurrent pytest workers / jobs)
+    tmp_path = cache / f"libtdfdn.{os.getpid()}.so.tmp"
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC",
-        str(_SRC), "-o", str(lib_path),
+        str(_SRC), "-o", str(tmp_path),
     ]
     logger.info("building native renderer: %s", " ".join(cmd))
-    subprocess.run(cmd, check=True, capture_output=True)
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp_path, lib_path)  # atomic on POSIX
+    finally:
+        tmp_path.unlink(missing_ok=True)
     return lib_path
 
 

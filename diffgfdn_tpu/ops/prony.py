@@ -77,7 +77,9 @@ def tf2minphase(
 
     h_mp = np.moveaxis(h_mp, 0, axis)
     if is_time_domain:
-        return irfft(h_mp, axis=axis)
+        # irfft needs the true FFT length: its even default would treat an
+        # odd-n_full spectrum's last bin as a Nyquist bin (short, wrong IR)
+        return irfft(h_mp, n=n_full, axis=axis)
     return h_mp
 
 
@@ -166,13 +168,17 @@ def allpass_warp(ir: np.ndarray, rho: float) -> np.ndarray:
     n_bins = 2 ** int(np.ceil(np.log2(n_samp * stretch)))
     n_bins = min(n_bins, 1 << 16)
 
-    omega = np.pi * np.arange(n_bins) / n_bins
+    # include the Nyquist bin: omitting it shifted the whole negative-
+    # frequency half by one slot, corrupting even the identity (rho=0)
+    # warp by ~7% (np.real silently discarded the non-Hermitian error)
+    omega = np.pi * np.arange(n_bins + 1) / n_bins
     z = np.exp(1j * omega)
     warped_omega = np.angle((z - rho) / (1.0 - rho * z))
+    warped_omega[-1] = np.pi  # the allpass maps pi -> pi exactly
 
-    spec = fft(ir, 2 * n_bins)[:n_bins]
+    spec = fft(ir, 2 * n_bins)[: n_bins + 1]
     spec_w = CubicSpline(omega, spec, extrapolate=True)(warped_omega)
-    full = np.r_[spec_w, spec_w[1:][::-1].conj()]
+    full = np.r_[spec_w, spec_w[1:n_bins][::-1].conj()]
     return np.real(ifft(full, 2 * n_bins))[:n_samp]
 
 

@@ -9,7 +9,10 @@ cross bands; the only collectives are GSPMD's data-parallel reductions.
 
 Semantic parity with the reference's per-band jobs:
 * per-band seeds (each band's PRNG stream matches its solo run's init);
-* the full loss stack including the colorless spectral + sparsity terms;
+* the default loss stack (EDC + EDR + the colorless spectral/sparsity
+  terms); the rarely-used ERB-grouping / frequency-weighting / reg-loss
+  flags are NOT implemented here and are rejected at construction — the
+  sequential per-band path supports them;
 * a per-band validation loop and PER-BAND early stopping — a stopped band
   has its parameter updates masked to zero while the remaining bands keep
   training (one program, no recompilation), mirroring trainer.py:417-424.
@@ -110,7 +113,7 @@ def make_band_loss_fn(
             # barrier: keep the feature comparisons from pushing a
             # transposed layout back into the fft result
             rir = jax.lax.optimization_barrier(rir)
-            end = min(max_len, h.shape[-1])
+            end = min(max_len, n)  # clamp at the TIME length, not bin count
             l_edc = cfg.edc_loss_weight * edc_loss_from_rir(
                 batch["target_edc_db"], rir[..., mixing:end], mask_key=mask_key
             )
@@ -188,6 +191,24 @@ class BandParallelTrainer:
 
         self.model = model
         self.cfg = cfg
+        unsupported = [
+            flag
+            for flag in (
+                "use_erb_edr_loss",
+                "use_frequency_weighting",
+                "use_reg_loss",
+            )
+            if getattr(cfg, flag, False)
+        ]
+        if unsupported:
+            # silently optimising a DIFFERENT objective than the same
+            # preset through the sequential per-band path would be worse
+            # than refusing
+            raise NotImplementedError(
+                f"BandParallelTrainer does not implement {unsupported} — "
+                "run the subband CLI without --band-parallel (the "
+                "sequential per-band path supports the full loss stack)"
+            )
         self.num_bands = band_responses.shape[0]
         self.band_responses = np.stack(
             [np.real(band_responses), np.imag(band_responses)], axis=-1
@@ -310,7 +331,7 @@ class BandParallelTrainer:
                 {
                     k: (
                         repl
-                        if k.startswith(("z_values", "mesh_2d"))
+                        if k.startswith(self._SHARED_KEYS)
                         else dsh
                     )
                     for k in enc
@@ -399,7 +420,7 @@ class BandParallelTrainer:
             )
             tgt = tgt * resp
             n = 2 * (tgt.shape[-1] - 1)
-            end = min(self._max_len, tgt.shape[-1])
+            end = min(self._max_len, n)
             rir = jnp.fft.irfft(tgt, n, axis=-1)
             edc_db = db_fn(
                 schroeder_backward_int(rir[..., mix:end]), is_squared=True

@@ -212,3 +212,30 @@ def test_subband_filter_response_shapes():
         1000.0, (63.0, 16000.0), 1, 32000.0, 8192, use_amp_preserving=False
     )
     assert resp_b.shape == (8192 // 2 + 1,)
+
+
+def test_allpass_warp_identity_and_roundtrip():
+    """rho=0 is the identity warp (regression: a missing Nyquist bin used
+    to misalign the negative-frequency half, ~7% error even at rho=0);
+    warp->unwarp approximately inverts."""
+    from diffgfdn_tpu.ops.prony import allpass_warp
+
+    rng = np.random.RandomState(0)
+    ir = rng.randn(512) * np.exp(-np.arange(512) / 100.0)
+    out = allpass_warp(ir, 0.0)
+    assert np.abs(out - ir).max() < 1e-10 * np.abs(ir).max()
+    back = allpass_warp(allpass_warp(ir, 0.4), -0.4)
+    assert np.abs(back - ir).max() < 0.05 * np.abs(ir).max()
+
+
+def test_delay_primes_range_too_small_raises():
+    import pytest
+
+    from diffgfdn_tpu.config.schema import DiffGFDNConfig
+
+    cfg = DiffGFDNConfig(
+        seed=0, num_groups=3, sample_rate=32000.0, num_delay_lines=27,
+        delay_range_ms=[20.0, 21.0],  # ~17 primes in [640, 672)
+    )
+    with pytest.raises(ValueError, match="primes"):
+        _ = cfg.delay_length_samps
