@@ -101,7 +101,7 @@ def convert_mat_to_pkl(
     band_centre_hz = band_centre_hz or DEFAULT_BANDS
     mat = load_mat_v73(mat_path)
     fs = float(np.asarray(mat["fs"]).ravel()[0])
-    rirs = np.squeeze(mat["srirs"])
+    rirs = np.atleast_2d(np.squeeze(mat["srirs"]))
     if rirs.shape[0] > rirs.shape[-1]:
         rirs = rirs.T  # ensure (num_rec, T)
     cdt = np.asarray(mat["common_decay_times"])
@@ -154,10 +154,19 @@ def convert_mat_to_pkl_ambi(
     srirs = np.asarray(mat["srirs"])
     # normalize axis order to (num_rec, n_sh, T)
     n_sh = (ambi_order + 1) ** 2
-    if srirs.shape.index(n_sh) != 1:
-        axes = list(srirs.shape)
-        sh_axis = axes.index(n_sh)
+    if n_sh not in srirs.shape:
+        raise ValueError(
+            f"no axis of size (ambi_order+1)^2={n_sh} in srirs shape "
+            f"{srirs.shape} — wrong --ambi-order for this file?"
+        )
+    sh_axis = srirs.shape.index(n_sh)
+    if sh_axis != 1:
         srirs = np.moveaxis(srirs, sh_axis, 1)
+    # time is the longest remaining axis (h5py reverses MATLAB order, so a
+    # (num_rec, n_sh, T) file reads as (T, n_sh, num_rec) with the SH axis
+    # already in place — that swap used to go undetected)
+    if srirs.shape[0] > srirs.shape[-1]:
+        srirs = srirs.transpose(2, 1, 0)
     cdt = np.asarray(mat["common_decay_times"])
 
     dirs = t_design_directions(2 * ambi_order + 1)
@@ -165,9 +174,15 @@ def convert_mat_to_pkl_ambi(
     drirs = process_srirs_to_directional(srirs, ambi_order, desired)
 
     num_rec, num_dirs, _ = drirs.shape
-    amps = np.zeros((num_rec, num_dirs, np.atleast_2d(cdt).shape[-1],
-                     len(band_centre_hz)))
-    for j in range(num_dirs):
+    # size the slope axis from the estimator's own output — a shape
+    # heuristic on cdt (atleast_2d(...).shape[-1]) read the BAND count for
+    # 2-D (n_slopes, n_bands) decay times and crashed the assignment
+    first = estimate_band_amplitudes(
+        drirs[:, 0], cdt, band_centre_hz, fs, mixing_time_ms
+    )
+    amps = np.zeros((num_rec, num_dirs) + first.shape[1:])
+    amps[:, 0] = first
+    for j in range(1, num_dirs):
         amps[:, j] = estimate_band_amplitudes(
             drirs[:, j], cdt, band_centre_hz, fs, mixing_time_ms
         )

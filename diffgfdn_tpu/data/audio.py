@@ -22,5 +22,5 @@ def read_wav(path: Union[str, Path]) -> Tuple[np.ndarray, float]:
 
 
 def write_wav(path: Union[str, Path], data: np.ndarray, fs: float) -> None:
-    """Write float32 wav (stereo-duplicates mono input like the reference)."""
+    """Write a float32 wav; the array is written as-is (mono stays mono)."""
     wavfile.write(str(path), int(fs), np.asarray(data, dtype=np.float32))

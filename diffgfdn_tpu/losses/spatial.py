@@ -25,7 +25,6 @@ def make_decay_envelopes(
     env = decay_kernel(
         np.asarray(common_decay_times).reshape(-1),
         t_axis,
-        fs,
         normalize_envelope=True,
     )
     return jnp.asarray(env.T, jnp.float32)  # (num_slopes, T)

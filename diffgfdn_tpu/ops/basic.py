@@ -121,7 +121,6 @@ def schroeder_backward_int(
 def decay_kernel(
     decay_times,
     time_axis,
-    fs: float = None,
     normalize_envelope: bool = False,
     add_noise: bool = False,
 ):
@@ -129,8 +128,10 @@ def decay_kernel(
 
     Returns a matrix of shape ``(len(time_axis), num_slopes [+1])`` with
     columns ``exp(-t * ln(1e6) / T_k)`` — the energy envelope that drops
-    60 dB in T_k seconds. ``add_noise`` appends a constant (noise-floor)
-    column. ``normalize_envelope`` scales each column to unit L2 norm so
+    60 dB in T_k seconds. ``time_axis`` is in SECONDS (an fs parameter
+    used to sit unused in the signature, inviting sample-axis misuse).
+    ``add_noise`` appends a constant (noise-floor) column.
+    ``normalize_envelope`` scales each column to unit L2 norm so
     common-slope amplitudes are comparable across decay times.
 
     Replaces ``slope2noise.utils.decay_kernel`` used by the reference

@@ -40,7 +40,10 @@ def stft(
     tp = x.shape[-1]
     n_frames = (tp - win_size) // hop_size + 1
     if window is None:
-        window = jnp.hanning(win_size).astype(x.dtype)
+        # PERIODIC hann, matching torch.hann_window's default used by the
+        # reference (losses.py:523); jnp.hanning alone is the symmetric
+        # variant
+        window = jnp.hanning(win_size + 1)[:-1].astype(x.dtype)
     if win_size == 2 * hop_size:
         # reshape-based framing (no gather — TPU gathers are slow):
         # consecutive half-window blocks, frame i = blocks[i] ++ blocks[i+1]

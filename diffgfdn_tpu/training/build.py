@@ -82,11 +82,27 @@ def absorption_arrays(
     if common_decay_times is None or dcfg.learn_common_decay_times:
         kw["learn_common_decay_times"] = True
         if common_decay_times is not None and dcfg.initialise_with_opt_values:
-            cdt = np.asarray(common_decay_times).reshape(-1)[: config.num_groups]
+            cdt = np.asarray(common_decay_times)
+            if cdt.ndim == 2 and cdt.shape[0] > 1 and (
+                cdt.shape[1] == config.num_groups
+            ):
+                # per-band (num_bands, num_groups): warm-start each group's
+                # learnable T60 at its MEAN over bands (row 0 would pick
+                # the 63 Hz band, typically the longest decay in the set)
+                cdt = cdt.mean(axis=0)
+            else:
+                cdt = cdt.reshape(-1)[: config.num_groups]
             kw["common_decay_times_init"] = tuple(float(t) for t in cdt)
         return kw
 
-    cdt = np.squeeze(np.asarray(common_decay_times))
+    # preserve the band axis: np.squeeze collapsed (num_bands, 1) to 1-D
+    # for single-group configs, skipping the filter branch and silently
+    # using only the FIRST band's T60 as a broadband gain
+    cdt = np.asarray(common_decay_times)
+    if cdt.ndim == 2 and cdt.shape[0] > 1 and cdt.shape[1] == config.num_groups:
+        pass  # (num_bands > 1, num_groups): keep the band axis even for G=1
+    else:
+        cdt = np.squeeze(cdt)
     if dcfg.use_absorption_filters and cdt.ndim == 2:
         # (num_bands, num_groups): per-band decay times -> GEQ (or Prony)
         fit = (

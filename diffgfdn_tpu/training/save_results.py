@@ -34,9 +34,7 @@ def gfdn_param_dict(model, params) -> Dict:
         m = jnp.asarray(fl["M"])
         out["individual_mixing_matrix"] = np.asarray(m)
         out["coupled_feedback_matrix"] = np.asarray(
-            model.apply(params, method=type(model).feedback_loop_coupled_matrix)
-            if hasattr(type(model), "feedback_loop_coupled_matrix")
-            else _coupled_matrix(model, params)
+            _coupled_matrix(model, params)
         )
     if "alpha" in fl:
         out["coupling_coefficient"] = np.asarray(fl["alpha"]).squeeze()

@@ -101,9 +101,10 @@ def gfdn_mems(
     avg_delay_ms: float,
     num_groups: int,
 ) -> int:
-    """State-memory footprint of a grouped FDN: delay-line storage plus the
-    per-group mixing matrix, io gains, and group state
-    (compare_flops.ipynb ``gfdn_mems``)."""
+    """State-memory footprint of a grouped FDN: delay-line storage plus
+    ONE group's mixing matrix, io gains, and group state — reproducing the
+    reference's cost model verbatim (compare_flops.ipynb ``gfdn_mems``),
+    which counts (N/G)^2 matrix elements for a single group only."""
     from ..ops.basic import ms_to_samps
 
     matrix_elems = (num_delay_lines // num_groups) ** 2

@@ -158,7 +158,7 @@ def test_stft_non_dividing_hop_matches_direct_framing():
     pad += (-(t + pad - win)) % hop
     xp = np.pad(x, (0, pad))
     n_frames = (len(xp) - win) // hop + 1
-    w = np.hanning(win).astype(np.float32)
+    w = np.hanning(win + 1)[:-1].astype(np.float32)  # periodic hann
     ref = np.stack(
         [np.fft.rfft(xp[i * hop : i * hop + win] * w) for i in range(n_frames)],
         axis=-1,

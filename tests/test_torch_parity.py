@@ -41,7 +41,7 @@ def torch_edc_loss(target_response, achieved_response, mixing, max_len):
 def torch_edr_loss(target_response, achieved_response, win=1024, hop=512):
     t = torch.fft.irfft(target_response, NFFT)
     a = torch.fft.irfft(achieved_response, NFFT)
-    w = torch.hann_window(win, periodic=False)
+    w = torch.hann_window(win)  # periodic, the reference's default
     st = torch.stft(t, win, hop, win_length=win, window=w, center=False,
                     return_complex=True)
     sa = torch.stft(a, win, hop, win_length=win, window=w, center=False,
