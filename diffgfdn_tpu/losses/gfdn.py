@@ -191,6 +191,7 @@ def edr_loss(
     reduced_pole_radius: Optional[float] = None,
     erb_filters: Optional[jnp.ndarray] = None,
     frequency_weights: Optional[jnp.ndarray] = None,
+    layout_barrier: bool = False,
 ) -> jnp.ndarray:
     """Normalized |dB| EDR difference between two spectra.
 
@@ -198,11 +199,17 @@ def edr_loss(
     time, optionally frequency-weighted / ERB-grouped, normalized by the
     target EDR's magnitude (reference: losses.py:377-495).
     ``reduced_pole_radius`` undoes sampling outside the unit circle with a
-    growing exponential on the achieved IR.
+    growing exponential on the achieved IR. ``layout_barrier`` pins default
+    layouts on the fft results (multi-device XLA:CPU meshes only — the CPU
+    fft thunk RET_CHECKs consumer-pushed batch-major layouts; see
+    parallel/band_parallel.py).
     """
     n = 2 * (target_response.shape[-1] - 1)
     target_rir = jnp.fft.irfft(target_response, n, axis=-1)
     achieved_rir = jnp.fft.irfft(achieved_response, n, axis=-1)
+    if layout_barrier:
+        target_rir = jax.lax.optimization_barrier(target_rir)
+        achieved_rir = jax.lax.optimization_barrier(achieved_rir)
     if reduced_pole_radius is not None and reduced_pole_radius != 1.0:
         env = jnp.power(
             1.0 / reduced_pole_radius, jnp.arange(achieved_rir.shape[-1])
@@ -211,6 +218,9 @@ def edr_loss(
 
     s_target = stft(target_rir, win_size, hop_size)
     s_ach = stft(achieved_rir, win_size, hop_size)
+    if layout_barrier:
+        s_target = jax.lax.optimization_barrier(s_target)
+        s_ach = jax.lax.optimization_barrier(s_ach)
     if erb_filters is not None:
         s_target = jnp.einsum("nk,...kt->...nt", erb_filters, jnp.abs(s_target))
         s_ach = jnp.einsum("nk,...kt->...nt", erb_filters, jnp.abs(s_ach))
@@ -260,13 +270,17 @@ def edr_loss_from_rir(
     hop_size: int = 2 ** 11,
     erb_filters: Optional[jnp.ndarray] = None,
     frequency_weights: Optional[jnp.ndarray] = None,
+    layout_barrier: bool = False,
 ) -> jnp.ndarray:
     """EDR loss against a PRECOMPUTED target EDR (dB) and its |.| sum.
 
     ``achieved_rir`` must already have the reduced-pole-radius envelope
-    undone if sampling was off the unit circle.
+    undone if sampling was off the unit circle. ``layout_barrier``: see
+    :func:`edr_loss`.
     """
     s_ach = stft(achieved_rir, win_size, hop_size)
+    if layout_barrier:
+        s_ach = jax.lax.optimization_barrier(s_ach)
     if erb_filters is not None:
         s_ach = jnp.einsum("nk,...kt->...nt", erb_filters, jnp.abs(s_ach))
     ach_edr = edr_from_stft(s_ach)
@@ -282,13 +296,15 @@ def reg_loss(
     biquad_num: jnp.ndarray,
     biquad_den: jnp.ndarray,
     num_time_samps: int,
+    layout_barrier: bool = False,
 ) -> jnp.ndarray:
     """Time-aliasing regularizer on output-filter decay rates.
 
     ``biquad_num``/``biquad_den``: (B, G, K, 3) cascades. Each cascade's IR
     is obtained by irfft of its response on a num_time_samps grid; the loss
     softmax-weights the late/early |h| energy ratio per batch item
-    (Lee et al. DAR; reference: losses.py:63-146).
+    (Lee et al. DAR; reference: losses.py:63-146). ``layout_barrier``: see
+    :func:`edr_loss`.
     """
     from ..ops.biquad import sos_frequency_response
 
@@ -296,7 +312,13 @@ def reg_loss(
     w = jnp.linspace(0.0, np.pi, nfft // 2 + 1)
     z = jnp.exp(1j * w).astype(jnp.complex64)
     resp = sos_frequency_response(biquad_num, biquad_den, z)  # (B, G, F)
+    if layout_barrier:
+        # pin a default layout on BOTH sides of the fft (the CPU fft thunk
+        # RET_CHECKs non-dim0-major operand layouts)
+        resp = jax.lax.optimization_barrier(resp)
     h = jnp.fft.irfft(resp, nfft, axis=-1)
+    if layout_barrier:
+        h = jax.lax.optimization_barrier(h)
     n0 = int(round(num_time_samps / 8))
     early = jnp.sum(jnp.abs(h[..., :n0]), axis=-1)
     late = jnp.sum(jnp.abs(h[..., num_time_samps - n0 :]), axis=-1)

@@ -108,11 +108,17 @@ def design_geq(
     if np.any(np.diff(target_freqs) <= 0):
         # band centres reaching past fs/2.1 (e.g. 16 kHz bands at fs=32k)
         # make xp non-monotonic, for which np.interp silently returns
-        # nonsense — keep only the strictly increasing prefix and anchor
-        # the top with the last in-range band's target
-        keep = np.concatenate(
-            ([True], np.diff(target_freqs) > 0)
-        )
+        # nonsense — keep a point only if it exceeds the LAST KEPT
+        # frequency (a predecessor-diff mask can still leave a
+        # non-increasing xp when several points regress), anchoring the
+        # top with the last in-range band's target
+        keep = np.zeros(len(target_freqs), dtype=bool)
+        keep[0] = True
+        last = target_freqs[0]
+        for i in range(1, len(target_freqs)):
+            if target_freqs[i] > last:
+                keep[i] = True
+                last = target_freqs[i]
         target_freqs = target_freqs[keep]
         target_gain_db = target_gain_db[keep]
     target_interp = np.interp(control_freq, target_freqs, target_gain_db)

@@ -9,10 +9,10 @@ cross bands; the only collectives are GSPMD's data-parallel reductions.
 
 Semantic parity with the reference's per-band jobs:
 * per-band seeds (each band's PRNG stream matches its solo run's init);
-* the default loss stack (EDC + EDR + the colorless spectral/sparsity
-  terms); the rarely-used ERB-grouping / frequency-weighting / reg-loss
-  flags are NOT implemented here and are rejected at construction — the
-  sequential per-band path supports them;
+* the FULL loss stack — EDC + EDR (with optional ERB grouping and
+  frequency weighting) + the time-aliasing reg loss + the colorless
+  spectral/sparsity terms — matching GFDNTrainer._losses term for term
+  (reference trainer.py:56-110);
 * a per-band validation loop and PER-BAND early stopping — a stopped band
   has its parameter updates masked to zero while the remaining bands keep
   training (one program, no recompilation), mirroring trainer.py:417-424.
@@ -30,8 +30,17 @@ import numpy as np
 import optax
 
 from ..config.schema import TrainerConfig
-from ..losses import amse_loss, edc_loss, edr_loss, mse_loss, sparsity_loss
+from ..losses import (
+    amse_loss,
+    edc_loss,
+    edr_loss,
+    frequency_weighting,
+    mse_loss,
+    reg_loss,
+    sparsity_loss,
+)
 from ..ops.basic import ms_to_samps
+from ..ops.stft import erb_filterbank
 from ..ops.unitary import orthogonal_from_skew
 from ..training.scan import scan_epoch
 from ..utils.cio import decode_batch, encode_batch
@@ -63,9 +72,13 @@ def make_band_loss_fn(
     edr_win: int,
     edr_hop: int,
     mesh=None,
+    erb_filters=None,
+    freq_weights=None,
 ) -> Callable:
-    """Single-band loss: EDC + EDR on the band-filtered response, plus the
-    colorless spectral/sparsity pair when the model trains with it
+    """Single-band loss: EDC + EDR on the band-filtered response (with
+    optional ERB grouping / frequency weighting of the EDR term), the
+    time-aliasing reg loss on SVF output heads, plus the colorless
+    spectral/sparsity pair when the model trains with it
     (parity with GFDNTrainer._losses / reference trainer.py:56-110).
 
     ``mesh``: the (band, batch) mesh the vmapped loss will run on — used to
@@ -74,6 +87,8 @@ def make_band_loss_fn(
     """
     mixing = ms_to_samps(20.0, sample_rate)
     max_len = ms_to_samps(max_ir_len_ms, sample_rate)
+    use_reg = cfg.use_reg_loss and getattr(model, "use_svf_in_output", False)
+    reg_ir_len = ms_to_samps(cfg.output_filt_ir_len_ms, sample_rate)
     repl_spec = None
     if _mesh_needs_cpu_fft_workaround(mesh):
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -128,15 +143,35 @@ def make_band_loss_fn(
                 rir_env,
                 win_size=edr_win,
                 hop_size=edr_hop,
+                erb_filters=erb_filters,
+                frequency_weights=freq_weights,
+                layout_barrier=repl_spec is not None,
             )
         else:
             target = batch["target_rir_response"] * resp
+            if repl_spec is not None:
+                # same XLA:CPU fft-layout sidestep as the fast path: make
+                # the ffts inside the losses read replicated elementwise
+                # results (real all-gathers keep default layouts)
+                hr = jax.lax.with_sharding_constraint(jnp.real(h), repl_spec)
+                hi = jax.lax.with_sharding_constraint(jnp.imag(h), repl_spec)
+                h = (hr + 1j * hi).astype(jnp.complex64)
+                tr = jax.lax.with_sharding_constraint(
+                    jnp.real(target), repl_spec
+                )
+                ti = jax.lax.with_sharding_constraint(
+                    jnp.imag(target), repl_spec
+                )
+                target = (tr + 1j * ti).astype(jnp.complex64)
             l_edr = cfg.edr_loss_weight * edr_loss(
                 target,
                 h,
                 win_size=edr_win,
                 hop_size=edr_hop,
                 reduced_pole_radius=cfg.reduced_pole_radius,
+                erb_filters=erb_filters,
+                frequency_weights=freq_weights,
+                layout_barrier=repl_spec is not None,
             )
             l_edc = cfg.edc_loss_weight * edc_loss(
                 target,
@@ -147,6 +182,25 @@ def make_band_loss_fn(
             )
         total = l_edr + l_edc
         aux = {"edr_loss": l_edr, "edc_loss": l_edc}
+        if use_reg:
+            head = model.apply(
+                params, batch, method=type(model).output_filter_params
+            )
+            if repl_spec is not None:
+                # replicate the REAL biquad coefficients so the filter
+                # response feeding reg_loss's irfft is computed replicated
+                # (no complex all-gather with a batch-major layout lands on
+                # the CPU fft thunk's input)
+                head = {
+                    k: jax.lax.with_sharding_constraint(v, repl_spec)
+                    for k, v in head.items()
+                }
+            l_reg = reg_loss(
+                head["biquad_num"], head["biquad_den"], reg_ir_len,
+                layout_barrier=repl_spec is not None,
+            )
+            aux["reg_loss"] = l_reg
+            total = total + l_reg
         if h_sub is not None:
             h_out = h_sub[0]  # (F, G)
             spectral_fn = amse_loss if cfg.use_asym_spectral_loss else mse_loss
@@ -191,24 +245,6 @@ class BandParallelTrainer:
 
         self.model = model
         self.cfg = cfg
-        unsupported = [
-            flag
-            for flag in (
-                "use_erb_edr_loss",
-                "use_frequency_weighting",
-                "use_reg_loss",
-            )
-            if getattr(cfg, flag, False)
-        ]
-        if unsupported:
-            # silently optimising a DIFFERENT objective than the same
-            # preset through the sequential per-band path would be worse
-            # than refusing
-            raise NotImplementedError(
-                f"BandParallelTrainer does not implement {unsupported} — "
-                "run the subband CLI without --band-parallel (the "
-                "sequential per-band path supports the full loss stack)"
-            )
         self.num_bands = band_responses.shape[0]
         self.band_responses = np.stack(
             [np.real(band_responses), np.imag(band_responses)], axis=-1
@@ -220,9 +256,26 @@ class BandParallelTrainer:
         self._edr_win, self._edr_hop = edr_win, edr_win // 2
         self._mixing = ms_to_samps(20.0, model.sample_rate)
         self._max_len = ms_to_samps(max_ir_len_ms, model.sample_rate)
+        # ERB grouping / frequency weighting of the EDR term: identical
+        # construction to GFDNTrainer (the filters depend only on sample
+        # rate and window, so all bands share one filterbank)
+        self.erb_filters = None
+        erb_centres = None
+        if cfg.use_erb_edr_loss:
+            fb, erb_centres = erb_filterbank(model.sample_rate, edr_win, 2 ** 6)
+            self.erb_filters = jnp.asarray(fb, jnp.float32)
+        self.freq_weights = None
+        if cfg.use_frequency_weighting:
+            freqs = (
+                erb_centres
+                if erb_centres is not None
+                else np.fft.rfftfreq(edr_win, d=1.0 / model.sample_rate)
+            )
+            self.freq_weights = frequency_weighting(np.asarray(freqs))
         loss_fn = make_band_loss_fn(
             model, cfg, model.sample_rate, max_ir_len_ms, edr_win,
             edr_win // 2, mesh=self.mesh,
+            erb_filters=self.erb_filters, freq_weights=self.freq_weights,
         )
         self._make_optimizer = lambda params: make_optimizer(
             cfg, params, steps_per_epoch
@@ -426,6 +479,8 @@ class BandParallelTrainer:
                 schroeder_backward_int(rir[..., mix:end]), is_squared=True
             )
             s = stft_fn(rir, self._edr_win, self._edr_hop)
+            if self.erb_filters is not None:
+                s = jnp.einsum("nk,...kt->...nt", self.erb_filters, jnp.abs(s))
             edr_db = edr_from_stft(s)
             abs_sum = jnp.sum(jnp.abs(edr_db), axis=(-2, -1))
             return edc_db, edr_db, abs_sum

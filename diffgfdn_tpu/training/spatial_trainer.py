@@ -247,10 +247,22 @@ class SpatialSamplingTrainer:
 
         MLP counterpart of GFDNTrainer.fit_indexed: the dataset uploads
         once, each epoch ships only an int32 batch-index matrix, and the
-        whole epoch runs as one lax.scan dispatch (training/scan.py)."""
+        whole epoch runs as one lax.scan dispatch (training/scan.py).
+
+        NB: validation batches are padded to one shape by wrapping to the
+        head of ``valid_idx``, so for small validation splits the reported
+        valid loss slightly over-weights the wrapped items (training-side
+        duplication only reorders gradient noise; the metric bias is
+        bounded by (vbs - 1)/len(valid_idx) of one batch's weight)."""
         from .scan import scan_epoch
         from .trainer import padded_batches
 
+        if len(train_idx) == 0:
+            raise ValueError(
+                "no training items: train_idx is empty (check "
+                "split_dataset_by_resolution / dataset size) — training "
+                "would silently run zero steps"
+            )
         data = self.upload_arrays(arrays)
         bs = min(self.cfg.batch_size, max(1, len(train_idx)))
         steps_per_epoch = max(1, len(list(padded_batches(train_idx, bs))))

@@ -105,6 +105,8 @@ SLOW_TESTS = {
     "test_pallas_cinv_needs_pivoting",
     "test_directional_mlp_training_improves",
     "test_gradients_finite_with_zero_b0_section",
+    # round 4
+    "test_band_parallel_full_loss_stack_matches_sequential",
 }
 
 
