@@ -311,6 +311,85 @@ def bench_synthesis_tpu(dur_s: float = 2.0, num_receivers: int = 838):
     return xrt
 
 
+def bench_tdgfdn_kernel(dur_s: float = 2.0, num_receivers: int = 838):
+    """Compiled Pallas TD kernel vs XLA scan on the real chip.
+
+    Measures the 2-s flagship synthesis (scalar absorption) through BOTH
+    paths, asserts f32-exact agreement, records the timings into the
+    production selection policy (kernels.tdgfdn.record_kernel_timing — so
+    this very process would pick the measured winner), and returns
+    (kernel_x_realtime, kernel_dt / scan_dt).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from diffgfdn_tpu.kernels.tdgfdn import (
+        delay_line_outputs,
+        delay_line_outputs_pallas,
+        record_kernel_timing,
+        use_pallas_kernel,
+    )
+    from diffgfdn_tpu.utils.placement import placement_is_tpu
+
+    if not placement_is_tpu():
+        log("tdgfdn kernel bench skipped: not TPU-placed")
+        return None
+
+    t_len = int(dur_s * FS)
+    rng = np.random.RandomState(0)
+    a = np.linalg.qr(rng.randn(len(DELAYS), len(DELAYS)))[0].astype(np.float32)
+    gains = np.asarray(
+        [10.0 ** (-3.0 * d / (FS * T60S[i // 4])) for i, d in enumerate(DELAYS)],
+        np.float32,
+    )
+    b = rng.randn(len(DELAYS)).astype(np.float32)
+    c = rng.randn(num_receivers, len(DELAYS)).astype(np.float32) / np.sqrt(12)
+    impulse = jnp.zeros(t_len, jnp.float32).at[0].set(1.0)
+
+    paths = {
+        "scan": jax.jit(
+            lambda g: delay_line_outputs(DELAYS, g, jnp.asarray(a),
+                                         jnp.asarray(b), impulse)
+        ),
+        "kernel": jax.jit(
+            lambda g: delay_line_outputs_pallas(DELAYS, g, jnp.asarray(a),
+                                                jnp.asarray(b), impulse,
+                                                interpret=False)
+        ),
+    }
+    outs, dts = {}, {}
+    for name, fn in paths.items():
+        g = jnp.asarray(gains)
+        t0 = time.time()
+        out = fn(g)
+        out.block_until_ready()
+        log(f"tdgfdn {name} compile+first: {time.time() - t0:.1f}s")
+        outs[name] = np.asarray(out)
+        steps, reps = 4, 3
+        times = []
+        for _ in range(reps):
+            t0 = time.time()
+            for _ in range(steps):
+                # chain through the data to beat the tunnel replay cache
+                out = fn(g)
+                g = g + 1e-16 * out[0]
+            out.block_until_ready()
+            times.append((time.time() - t0) / steps)
+        dts[name] = float(np.min(times))
+    err = float(np.max(np.abs(outs["scan"] - outs["kernel"])))
+    assert err < 1e-5, f"kernel-vs-scan mismatch: {err}"
+    record_kernel_timing(DELAYS, dts["kernel"], dts["scan"])
+    chosen = "kernel" if use_pallas_kernel(DELAYS) else "scan"
+    # x-realtime convention matches bench_synthesis_tpu (838 receivers
+    # share one delay-line run; the (T,N)@(N,B) mix is negligible)
+    xrt = num_receivers * dur_s / dts["kernel"]
+    log(
+        f"tdgfdn kernel {dts['kernel']*1e3:.1f} ms vs scan "
+        f"{dts['scan']*1e3:.1f} ms (|err| {err:.1e}) -> policy picks {chosen}"
+    )
+    return xrt, dts["kernel"] / dts["scan"]
+
+
 # 27 co-prime delays (9 per group) for the directional config: ambisonic
 # order 2 => 9 SH channels per group, 3 coupled groups (BASELINE config 3)
 DIR_DELAYS = (
@@ -1099,6 +1178,7 @@ def main():
     tpu_sps, tpu_scan_sps = bench_tpu()
     svf_sps = _try("svf tpu", bench_tpu_svf)
     xrt = _try("synthesis", bench_synthesis_tpu)
+    kernel_res = _try("tdgfdn kernel", bench_tdgfdn_kernel)
     dir_sps = _try("directional tpu", bench_tpu_directional)
     band_sps = _try("band-parallel tpu", bench_tpu_band_parallel)
     spatial_res = _try("spatial tpu", bench_tpu_spatial_mlp)
@@ -1175,6 +1255,16 @@ def main():
             "value": round(xrt, 0),
             "unit": "x_realtime_2s_838rec_per_chip",
             "vs_baseline": round(xrt / 1000.0, 2),  # >=1000x target
+        })
+    if kernel_res is not None:
+        kernel_xrt, kernel_vs_scan = kernel_res
+        extra.append({
+            "metric": "tdgfdn_pallas_x_realtime",
+            "value": round(kernel_xrt, 0),
+            "unit": "x_realtime_2s_838rec_compiled_mosaic_kernel",
+            # speedup vs the XLA scan computing the identical recursion:
+            # > 1 means the kernel is faster (policy then selects it)
+            "vs_baseline": round(1.0 / kernel_vs_scan, 2),
         })
     if binaural_xrt is not None:
         extra.append({

@@ -89,9 +89,11 @@ def make_time_domain_synthesis_fn(model, params, num_samples: int):
     from ..kernels.tdgfdn import (
         delay_line_outputs,
         delay_line_outputs_filtered,
+        delay_line_outputs_pallas,
         filter_bank_from_gains,
         filter_bank_from_iir,
         filter_bank_from_sos,
+        use_pallas_kernel,
     )
     from ..models.gain_heads import expand_groups_to_delay_lines
 
@@ -143,6 +145,13 @@ def make_time_domain_synthesis_fn(model, params, num_samples: int):
     elif a_np.ndim == 3:  # FILTER coupling with scalar absorption
         bank = filter_bank_from_gains(np.asarray(gamma), delays)
         y = delay_line_outputs_filtered(delays, bank, a, b, impulse)
+    elif use_pallas_kernel(delays):
+        # measured scan-vs-kernel policy (kernels/tdgfdn.py): the compiled
+        # Mosaic kernel is selected only on TPU placement with a recorded
+        # measurement showing it at least as fast as the scan
+        y = delay_line_outputs_pallas(
+            delays, gamma, a, b, impulse, interpret=False
+        )
     else:
         y = delay_line_outputs(delays, gamma, a, b, impulse)  # (T, N)
     y = jax.device_put(y)

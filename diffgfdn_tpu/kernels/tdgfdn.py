@@ -290,6 +290,55 @@ def delay_line_outputs_pallas(
     return y.T[:t_len]
 
 
+# ------------------------- scan vs kernel policy ----------------------------
+# Both paths compute the identical recursion at f32-exact accuracy
+# (precision=HIGHEST matmuls); the choice is purely a speed call. Round-3/4
+# measurements on the real chip put them at parity (kernel 7.7-7.9 ms vs
+# scan 6.9-7.7 ms at the 2 s / 12-line flagship scale), so the DEFAULT
+# absent a measurement is the scan. bench.py re-measures both every round
+# (metric ``tdgfdn_pallas_x_realtime``) and records the result here, making
+# the selection a measured policy rather than a hardcoded flag.
+
+_KERNEL_TIMINGS: dict = {}
+
+
+def record_kernel_timing(
+    delays: Tuple[int, ...], kernel_dt: float, scan_dt: float
+) -> None:
+    """Record a measured kernel-vs-scan comparison for a delay signature.
+
+    ``kernel_dt``/``scan_dt``: best wall-clock per synthesis run, seconds.
+    Consulted by :func:`use_pallas_kernel` in the same process.
+    """
+    _KERNEL_TIMINGS[tuple(int(d) for d in delays)] = (
+        float(kernel_dt), float(scan_dt)
+    )
+
+
+def use_pallas_kernel(
+    delays: Tuple[int, ...], devices=None
+) -> bool:
+    """Measured selection policy for the compiled Pallas TD kernel.
+
+    True only when (a) the computation is TPU-placed (the placement
+    contract — NEVER ``jax.default_backend()``, which lies for CPU-placed
+    computation in a TPU-registered process, utils/placement.py), (b) the
+    selection tensor fits the VMEM budget for this delay signature, and
+    (c) a recorded measurement (:func:`record_kernel_timing`) shows the
+    kernel at least as fast as the scan. Without a measurement the scan is
+    chosen: every recorded comparison to date is at parity or scan-faster
+    (BASELINE.md round-3 kernel table; bench.py re-measures each round).
+    """
+    from ..utils.placement import placement_is_tpu
+
+    if not placement_is_tpu(devices):
+        return False
+    if _pallas_block_size(delays) is None:
+        return False
+    timing = _KERNEL_TIMINGS.get(tuple(int(d) for d in delays))
+    return timing is not None and timing[0] <= timing[1]
+
+
 def synthesize_rirs_time_domain(
     delays: Tuple[int, ...],
     gains: jnp.ndarray,
@@ -297,11 +346,20 @@ def synthesize_rirs_time_domain(
     input_gains: jnp.ndarray,
     output_gains: jnp.ndarray,
     num_samples: int,
-    use_pallas: bool = False,
+    use_pallas: Optional[bool] = None,
     interpret: bool = True,
 ) -> jnp.ndarray:
-    """Impulse-response synthesis: (B, num_samples) RIRs for B gain sets."""
+    """Impulse-response synthesis: (B, num_samples) RIRs for B gain sets.
+
+    ``use_pallas=None`` (default) resolves scan-vs-kernel through the
+    measured policy :func:`use_pallas_kernel`; an explicit bool forces the
+    path. ``interpret`` only applies to the kernel path (False asserts TPU
+    placement by the caller).
+    """
     impulse = jnp.zeros(num_samples, jnp.float32).at[0].set(1.0)
+    if use_pallas is None:
+        use_pallas = use_pallas_kernel(delays)
+        interpret = False if use_pallas else interpret
     if use_pallas:
         y = delay_line_outputs_pallas(
             delays, gains, feedback_matrix, input_gains, impulse,

@@ -92,3 +92,33 @@ def test_no_default_backend_in_kernel_dispatch_paths():
                 if name == "default_backend":
                     offenders.append(f"{path.name}:{node.lineno}")
     assert not offenders, offenders
+
+
+def test_tdgfdn_kernel_policy_is_measured():
+    """The compiled TD kernel is selected only on TPU placement AND with a
+    recorded measurement showing it at least as fast as the scan (the
+    production synthesize path passes use_pallas=None through this)."""
+    from diffgfdn_tpu.kernels import tdgfdn
+
+    delays = (641, 757, 809, 877)
+    key = tuple(delays)
+    tdgfdn._KERNEL_TIMINGS.pop(key, None)
+    try:
+        # CPU placement (test env): never the kernel, measured or not
+        assert not tdgfdn.use_pallas_kernel(delays)
+        tdgfdn.record_kernel_timing(delays, kernel_dt=1.0, scan_dt=2.0)
+        assert not tdgfdn.use_pallas_kernel(delays)
+
+        # fake TPU placement: policy follows the recorded measurement
+        class _Dev:
+            platform = "tpu"
+
+        devs = [_Dev()]
+        assert tdgfdn.use_pallas_kernel(delays, devices=devs)
+        tdgfdn.record_kernel_timing(delays, kernel_dt=2.0, scan_dt=1.0)
+        assert not tdgfdn.use_pallas_kernel(delays, devices=devs)
+        tdgfdn._KERNEL_TIMINGS.pop(key, None)
+        # no measurement: default to the scan
+        assert not tdgfdn.use_pallas_kernel(delays, devices=devs)
+    finally:
+        tdgfdn._KERNEL_TIMINGS.pop(key, None)
