@@ -1165,6 +1165,27 @@ def bench_torch_cpu(steps: int = 3):
     return 1.0 / dt
 
 
+def bench_convergence():
+    """Training-convergence parity: matched-init matched-data toy training
+    through fit_indexed vs the eager-torch reference-equivalent epoch loop
+    (tools/convergence.py). Returns (ours_final_edc_db, torch_final_edc_db)
+    — the claim this proves: 'gets the same answer', not just faster steps.
+    """
+    import tempfile
+
+    from tools.convergence import compare
+
+    with tempfile.TemporaryDirectory() as d:
+        res = compare(d, max_epochs=20)
+    log(
+        f"convergence: final valid EDC ours {res['ours_final_edc_db']:.3f} dB"
+        f" vs torch {res['torch_final_edc_db']:.3f} dB; best "
+        f"{min(res['ours_valid_edc_db']):.3f} vs "
+        f"{min(res['torch_valid_edc_db']):.3f}"
+    )
+    return res["ours_final_edc_db"], res["torch_final_edc_db"]
+
+
 def _try(name, fn, *args, **kwargs):
     try:
         return fn(*args, **kwargs)
@@ -1185,6 +1206,7 @@ def main():
     spatial_sps, spatial_scan_sps = (
         spatial_res if spatial_res is not None else (None, None)
     )
+    conv = _try("convergence parity", bench_convergence)
     binaural_xrt = _try("binaural render", bench_binaural_render)
     binaural_dev_xrt = _try(
         "binaural render (device)", bench_binaural_render, backend="jax"
@@ -1265,6 +1287,16 @@ def main():
             # speedup vs the XLA scan computing the identical recursion:
             # > 1 means the kernel is faster (policy then selects it)
             "vs_baseline": round(1.0 / kernel_vs_scan, 2),
+        })
+    if conv is not None:
+        ours_edc, torch_edc = conv
+        extra.append({
+            "metric": "train_convergence_final_edc_db",
+            "value": round(ours_edc, 4),
+            "unit": "db_final_valid_edc_20epoch_matched_init_toy",
+            # torch-reference final EDC / ours: >= 1 means we converge to
+            # an answer at least as good as the reference algorithm's
+            "vs_baseline": round(torch_edc / ours_edc, 4),
         })
     if binaural_xrt is not None:
         extra.append({

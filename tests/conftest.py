@@ -107,6 +107,7 @@ SLOW_TESTS = {
     "test_gradients_finite_with_zero_b0_section",
     # round 4
     "test_band_parallel_full_loss_stack_matches_sequential",
+    "test_training_convergence_parity_with_torch_reference",
 }
 
 

