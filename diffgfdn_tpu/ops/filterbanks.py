@@ -195,10 +195,15 @@ def subband_filter_response(
     Returns a complex array of num_freq_bins//2 + 1 points.
     """
     if use_amp_preserving:
+        # design the FIR no longer than the rFFT grid: rfft(x, n) TRUNCATES
+        # x to its first n samples, and the linear-phase filter's energy
+        # sits at fir_n_samples/2 — a 4096-tap filter sampled on a 512-bin
+        # grid used to silently return an all-but-zero response
+        n_fir = min(fir_n_samples, num_freq_bins)
         coeffs, freqs = reconstructing_fractional_octave_bands(
             num_fractions=num_fractions,
             frequency_range=frequency_range,
-            n_samples=fir_n_samples,
+            n_samples=n_fir,
             sampling_rate=sampling_rate,
         )
         idx = int(np.argmin(np.abs(freqs - centre_frequency)))

@@ -242,12 +242,18 @@ class SpatialSamplingTrainer:
         train_idx: np.ndarray,
         valid_idx: Optional[np.ndarray] = None,
         seed: int = 0,
+        mesh=None,
     ):
         """Epoch loop over device-resident data (on-device index gathers).
 
         MLP counterpart of GFDNTrainer.fit_indexed: the dataset uploads
         once, each epoch ships only an int32 batch-index matrix, and the
         whole epoch runs as one lax.scan dispatch (training/scan.py).
+
+        ``mesh``: optional multi-device mesh with a ``batch`` axis — the
+        gathered per-step batch is sharded over it (data parallelism over
+        receivers; GSPMD inserts the psum for the loss reduction). ``None``
+        trains on the default single device.
 
         NB: validation batches are padded to one shape by wrapping to the
         head of ``valid_idx``, so for small validation splits the reported
@@ -264,6 +270,17 @@ class SpatialSamplingTrainer:
                 "would silently run zero steps"
             )
         data = self.upload_arrays(arrays)
+        bsh = None
+        if mesh is not None and int(np.prod(mesh.devices.shape)) > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            bsh = NamedSharding(mesh, P("batch"))
+            repl = NamedSharding(mesh, P())
+            # replicate the (small) dataset so per-batch gathers are local
+            data = {k: jax.device_put(v, repl) for k, v in data.items()}
+            params = jax.device_put(
+                params, jax.tree_util.tree_map(lambda _: repl, params)
+            )
         bs = min(self.cfg.batch_size, max(1, len(train_idx)))
         steps_per_epoch = max(1, len(list(padded_batches(train_idx, bs))))
         schedule = optax.exponential_decay(
@@ -276,7 +293,13 @@ class SpatialSamplingTrainer:
         opt_state = self.optimizer.init(params)
 
         def gather(idx):
-            return {k: v[idx] for k, v in data.items()}
+            batch = {k: v[idx] for k, v in data.items()}
+            if bsh is not None:
+                batch = {
+                    k: jax.lax.with_sharding_constraint(v, bsh)
+                    for k, v in batch.items()
+                }
+            return batch
 
         def train_step(p, o, idx):
             (total, aux), grads = jax.value_and_grad(

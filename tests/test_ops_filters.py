@@ -239,3 +239,22 @@ def test_delay_primes_range_too_small_raises():
     )
     with pytest.raises(ValueError, match="primes"):
         _ = cfg.delay_length_samps
+
+
+def test_subband_filter_response_short_grid_keeps_passband():
+    """rfft(coeffs, n) truncates: on grids shorter than the FIR design
+    length the 4096-tap filter's energy (centred at 2048) was cut away,
+    silently returning an all-but-zero response — every small-nfft subband
+    loss then compared eps-floor EDCs. The filter must be designed no
+    longer than the grid."""
+    from diffgfdn_tpu.ops.filterbanks import subband_filter_response
+
+    for nfft in (512, 1024, 4096):
+        r = subband_filter_response(500.0, (63.0, 4000.0), 1, 8000.0, nfft)
+        assert r.shape == (nfft // 2 + 1,)
+        freqs = np.fft.rfftfreq(nfft, 1.0 / 8000.0)
+        at_fc = np.abs(r)[np.argmin(np.abs(freqs - 500.0))]
+        assert abs(at_fc - 1.0) < 0.05, (nfft, at_fc)
+        # stopband well below the passband
+        at_dc = np.abs(r)[1]
+        assert at_dc < 0.1, (nfft, at_dc)
