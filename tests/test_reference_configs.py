@@ -94,3 +94,80 @@ def test_reference_spatial_configs_load_and_build():
         assert model is not None
         built += 1
     assert built >= 10, (built, skipped)
+
+
+# ------------------------------ native presets -------------------------------
+
+
+def test_native_preset_library_builds_and_roundtrips(tmp_path):
+    """The native preset library (config/presets.py): every preset (a) is
+    schema-valid at construction, (b) round-trips through its YAML in
+    configs/presets/, and (c) builds its model at production scale —
+    mirroring the reference's ~50 tuned presets as factories instead of
+    static files (reference: /root/reference/data/config/)."""
+    from diffgfdn_tpu.config import (
+        DiffGFDNConfig,
+        load_and_validate_config,
+        SpatialSamplingConfig,
+    )
+    from diffgfdn_tpu.config.presets import (
+        preset_library,
+        write_preset_library,
+    )
+    from diffgfdn_tpu.ops.sph import t_design_directions
+    from diffgfdn_tpu.training.build import build_gfdn_model
+    from diffgfdn_tpu.training.spatial_trainer import build_spatial_model
+
+    lib = preset_library()
+    assert len(lib) >= 50, len(lib)
+
+    # regeneration matches the committed configs/presets tree
+    committed = Path(__file__).resolve().parents[1] / "configs" / "presets"
+    fresh = write_preset_library(tmp_path)
+    assert committed.exists(), "configs/presets not generated/committed"
+    for name, path in fresh.items():
+        rel = path.relative_to(tmp_path)
+        assert (committed / rel).exists(), f"{rel} missing from configs/"
+        assert (committed / rel).read_text() == path.read_text(), (
+            f"{rel} out of sync — rerun write_preset_library('configs/presets')"
+        )
+
+    bands = 62.5 * 2.0 ** np.arange(8)
+    built = 0
+    for name, factory in lib.items():
+        cfg = factory()
+        if isinstance(cfg, SpatialSamplingConfig):
+            reloaded = load_and_validate_config(
+                fresh[name], SpatialSamplingConfig
+            )
+            assert reloaded == cfg
+            model = build_spatial_model(cfg, num_slopes=3, ambi_order=2)
+            assert model is not None
+        else:
+            reloaded = load_and_validate_config(fresh[name], DiffGFDNConfig)
+            assert reloaded == cfg
+            cdt = np.linspace(1.2, 0.4, len(bands))[:, None] * np.linspace(
+                1.0, 0.8, cfg.num_groups
+            )[None, :]
+            kwargs = {}
+            if cfg.ambi_order is not None:
+                variant = "directional"
+                kwargs = dict(desired_directions=t_design_directions(5))
+            elif cfg.ir_path is not None:
+                variant = "single_pos"
+            else:
+                variant = "var_receiver"
+            model = build_gfdn_model(
+                cfg,
+                common_decay_times=(
+                    cdt
+                    if cfg.decay_filter_config.use_absorption_filters
+                    else cdt[0]
+                ),
+                band_centre_hz=bands,
+                variant=variant,
+                **kwargs,
+            )
+            assert model.num_delay_lines == cfg.num_delay_lines
+        built += 1
+    assert built == len(lib)
