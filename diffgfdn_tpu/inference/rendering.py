@@ -357,6 +357,81 @@ class BinauralDynamicRendering(DynamicRenderingMovingReceiver):
                     prev_tail[: len(seg), j] = seg
         return out
 
+    def binaural_filter_overlap_add_multi(
+        self,
+        stimuli: np.ndarray,
+        orientations: Optional[np.ndarray] = None,
+        rec_indices: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """Render B trajectories/stimuli in ONE device dispatch -> (B, T, 2).
+
+        ``stimuli``: (B, num_pos * hop) extended stimuli (one per
+        trajectory). ``orientations``: optional (B, num_pos, 2) yaw/pitch
+        lists (defaults to this renderer's list for every trajectory).
+        ``rec_indices``: optional (B, num_pos) indices into THIS renderer's
+        hop positions (defaults to the renderer's own receiver path).
+        Per-trajectory output matches ``backend="jax"`` exactly; the fixed
+        dispatch/tunnel cost amortises across B (the serving path for
+        many-listener / many-source rendering).
+        """
+        import jax
+
+        stimuli = np.asarray(stimuli, np.float32)
+        b = stimuli.shape[0]
+        k_hops, hop = self.num_pos, self.hop_size
+        assert stimuli.shape[1] == k_hops * hop, stimuli.shape
+        self._ensure_dev_consts()
+        rtf_re, rtf_im, hf_re, hf_im = self._dev_consts
+
+        if orientations is None:
+            orientations = np.broadcast_to(
+                np.asarray(self.orientation_list, np.float32),
+                (b, k_hops, 2),
+            )
+        else:
+            # same convention as the constructor: stored pitch is negated
+            orientations = np.asarray(orientations, np.float64).copy()
+            orientations[..., -1] = -orientations[..., -1]
+        rots = np.stack([
+            np.stack([
+                sh_rotation_yaw_pitch_roll(
+                    self.ambi_order, -yaw, -pitch, 0.0
+                )
+                for yaw, pitch in traj
+            ])
+            for traj in np.asarray(orientations)
+        ])  # (B, K, S, S)
+        w_rot = np.concatenate(
+            [rots[:, :1], 0.5 * (rots[:, 1:] + rots[:, :-1])], axis=1
+        ).astype(np.float32)
+        if rec_indices is None:
+            inv = np.broadcast_to(self._rtf_inv, (b, k_hops))
+        else:
+            inv = self._rtf_inv[np.asarray(rec_indices)]
+        fn = _multi_binaural_fn(k_hops, hop, self.num_freq_bins)
+        segs = stimuli.reshape(b, k_hops, hop)
+        out = fn(
+            segs, w_rot, rtf_re, rtf_im, np.ascontiguousarray(inv),
+            hf_re, hf_im,
+        )
+        return np.asarray(jax.block_until_ready(out), np.float64)
+
+    def _ensure_dev_consts(self) -> None:
+        if self._dev_consts is None:
+            import jax
+
+            # device-resident spectra of the UNIQUE receivers + the
+            # HRTF-SH set, re/im-split (complex can't cross the jit
+            # boundary on the tunnelled TPU backend). Mirrors the host
+            # path, whose ambi RTFs are precomputed in _init_freq_domain
+            # — the per-call program starts at the rotation matmuls.
+            rtf32 = np.asarray(self._rtf_uniq, np.complex64)
+            hf32 = np.asarray(self.ambi_hrtfs, np.complex64)
+            self._dev_consts = tuple(
+                jax.device_put(np.ascontiguousarray(a))
+                for a in (rtf32.real, rtf32.imag, hf32.real, hf32.imag)
+            )
+
     def _binaural_ola_jax(self) -> np.ndarray:
         """All hops of :meth:`binaural_filter_overlap_add` in one device
         program (see the module docstring). Matches the host loop's output
@@ -377,18 +452,7 @@ class BinauralDynamicRendering(DynamicRenderingMovingReceiver):
         )
         w_rot = np.concatenate([rot[:1], 0.5 * (rot[1:] + rot[:-1])])
 
-        if self._dev_consts is None:
-            # device-resident spectra of the UNIQUE receivers + the
-            # HRTF-SH set, re/im-split (complex can't cross the jit
-            # boundary on the tunnelled TPU backend). Mirrors the host
-            # path, whose ambi RTFs are precomputed in _init_freq_domain
-            # — the per-call program starts at the rotation matmuls.
-            rtf32 = np.asarray(self._rtf_uniq, np.complex64)
-            hf32 = np.asarray(self.ambi_hrtfs, np.complex64)
-            self._dev_consts = tuple(
-                jax.device_put(np.ascontiguousarray(a))
-                for a in (rtf32.real, rtf32.imag, hf32.real, hf32.imag)
-            )
+        self._ensure_dev_consts()
         rtf_re, rtf_im, hf_re, hf_im = self._dev_consts
         fn = _batched_binaural_fn(k_hops, hop, self.num_freq_bins)
         segs = self.extended_stimulus.reshape(k_hops, hop)
@@ -399,9 +463,8 @@ class BinauralDynamicRendering(DynamicRenderingMovingReceiver):
         return np.asarray(jax.block_until_ready(out), np.float64)
 
 
-@functools.lru_cache(maxsize=8)
-def _batched_binaural_fn(k_hops: int, hop: int, nfft: int):
-    """Jitted all-hops binaural render: (K,hop) stimulus segments,
+def _make_binaural_fn(k_hops: int, hop: int, nfft: int):
+    """All-hops binaural render body: (K,hop) stimulus segments,
     (K,S,S) smoothed rotations, re/im unique-receiver RTFs (U,S,Fb) with a
     (K,) gather index, and re/im HRTF-SH (S,2,Fb)
     -> (K*hop, 2) crossfaded binaural output.
@@ -475,4 +538,30 @@ def _batched_binaural_fn(k_hops: int, hop: int, nfft: int):
             )
         return out[: k_hops * hop]
 
-    return jax.jit(fn)
+    return fn
+
+
+@functools.lru_cache(maxsize=8)
+def _batched_binaural_fn(k_hops: int, hop: int, nfft: int):
+    """Jitted single-trajectory all-hops render (see _make_binaural_fn)."""
+    import jax
+
+    return jax.jit(_make_binaural_fn(k_hops, hop, nfft))
+
+
+@functools.lru_cache(maxsize=8)
+def _multi_binaural_fn(k_hops: int, hop: int, nfft: int):
+    """Jitted MULTI-trajectory render: vmap over a leading batch axis on
+    the stimulus segments, smoothed rotations, and receiver gather index
+    (the unique-receiver RTF and HRTF-SH device constants are shared).
+    One dispatch renders B trajectories — the fixed dispatch/tunnel cost
+    amortises 1/B (the single-dispatch path is dominated by it; see
+    DESIGN.md "Binaural renderer floor analysis")."""
+    import jax
+
+    return jax.jit(
+        jax.vmap(
+            _make_binaural_fn(k_hops, hop, nfft),
+            in_axes=(0, 0, None, None, 0, None, None),
+        )
+    )

@@ -108,6 +108,7 @@ SLOW_TESTS = {
     # round 4
     "test_band_parallel_full_loss_stack_matches_sequential",
     "test_training_convergence_parity_with_torch_reference",
+    "test_compare_baselines_workflow",
 }
 
 

@@ -395,3 +395,48 @@ def test_estimate_decay_params_recovers_noise_floor():
     ratio_db = 10 * np.log10(noise[0] / true_level)
     assert abs(ratio_db) < 3.0, ratio_db
     assert abs(t60s[0, 0] - 0.12) / 0.12 < 0.25, t60s
+
+
+def test_compare_baselines_workflow(tmp_path):
+    """WASPAA25 baseline-comparison CLI at toy scale: trains the CS-MLP,
+    computes barycentric-interpolated SRIRs on the same split, writes both
+    EDC-error maps + a JSON summary + NAF-compatible train/infer exports
+    (reference: notebooks/waspaa25/compare_against_barycentric_
+    interpolation.ipynb, convert_data_to_naf_compatible.ipynb)."""
+    import json
+    import pickle
+
+    from diffgfdn_tpu.cli.compare_baselines import main
+    from diffgfdn_tpu.data.naf import load_pickle_tolerant
+    from diffgfdn_tpu.data.spatial_dataset import (
+        generate_spatial_three_room_pickle,
+    )
+
+    pkl = generate_spatial_three_room_pickle(
+        tmp_path / "sp.pkl", fs=8000.0, grid_spacing_m=0.6, rir_len_s=0.12,
+        decay_times=(0.04, 0.07, 0.05),
+    )
+    out = tmp_path / "cmp"
+    main([
+        "--dataset", str(pkl), "--out", str(out),
+        "--grid-resolution", "1.2", "--max-epochs", "2",
+        "--mlp-layers", "1", "--mlp-neurons", "16",
+    ])
+    summary = json.loads((out / "comparison_summary.json").read_text())
+    for key in ("common_slopes_model_mean_edc_error_db",
+                "barycentric_mean_edc_error_db"):
+        assert np.isfinite(summary[key]) and summary[key] > 0
+    assert len(summary["barycentric_per_direction_db"]) == 12
+    assert (out / "edc_error_map_common_slopes_model.png").exists()
+    assert (out / "edc_error_map_barycentric.png").exists()
+
+    # NAF exports: same split, loadable through the tolerant unpickler
+    train = load_pickle_tolerant(summary["naf_exports"]["naf_train"])
+    infer = load_pickle_tolerant(summary["naf_exports"]["naf_infer"])
+    assert train.rirs.shape[0] == summary["num_train"]
+    assert infer.receiver_position.shape[0] == summary["num_heldout"]
+    assert train.metadata["grid_resolution_m"] == 1.2
+    # no position leaks between splits
+    tr = {tuple(p) for p in np.round(train.receiver_position, 6)}
+    te = {tuple(p) for p in np.round(infer.receiver_position, 6)}
+    assert not (tr & te)

@@ -413,3 +413,62 @@ def test_add_direct_and_early_path(tmp_path):
     # the early part (before mixing time minus fade) is the measured one
     mix = int(0.05 * room.sample_rate)
     assert np.allclose(full[:, : mix - 50], room.rirs[:, : mix - 50], atol=1e-6)
+
+
+def test_binaural_multi_trajectory_matches_single(tmp_path):
+    """One multi-trajectory dispatch reproduces per-trajectory jax renders:
+    row 0 uses this renderer's own path; row 1 a different orientation
+    list + receiver path (throughput serving path; VERDICT r3 item 2)."""
+    from diffgfdn_tpu.data.spatial_dataset import (
+        generate_spatial_three_room_pickle,
+        SpatialThreeRoomDataset,
+    )
+
+    path = generate_spatial_three_room_pickle(
+        tmp_path / "s.pkl", grid_spacing_m=1.2, rir_len_s=0.1,
+        decay_times=(0.03, 0.05, 0.04),
+    )
+    room = SpatialThreeRoomDataset(path)
+    reader = _mock_hrir_reader(tmp_path)
+    hrir_sh = reader.get_spherical_harmonic_representation(2)
+    rng = np.random.RandomState(1)
+    n_hops = 4
+    hop_ms = 50
+    hop = int(room.sample_rate * hop_ms / 1000)
+    pos = np.tile(room.receiver_position[:2], (2, 1))[:n_hops]
+    oris = np.stack(
+        [np.linspace(0, np.pi, n_hops), np.zeros(n_hops)], axis=-1
+    )
+    stim = rng.randn(n_hops * hop).astype(np.float32)
+    rend = BinauralDynamicRendering(
+        room, pos, oris, stim, hrir_sh, update_ms=hop_ms, use_whole_rir=True
+    )
+
+    oris2 = np.stack(
+        [np.linspace(np.pi, 0, n_hops), np.full(n_hops, 0.2)], axis=-1
+    )
+    rec2 = np.array([1, 0, 1, 0])  # different receiver path (hop indices)
+    stim2 = rng.randn(n_hops * hop).astype(np.float32)
+
+    multi = rend.binaural_filter_overlap_add_multi(
+        np.stack([rend.extended_stimulus[: n_hops * hop], stim2]),
+        orientations=np.stack([oris, oris2]),
+        rec_indices=np.stack([np.arange(n_hops), rec2]),
+    )
+    assert multi.shape[0] == 2 and np.isfinite(multi).all()
+
+    # row 0 == the single-trajectory device render
+    single = rend.binaural_filter_overlap_add(backend="jax")
+    np.testing.assert_allclose(
+        multi[0], single[: multi.shape[1]], atol=1e-5 * np.abs(single).max()
+    )
+
+    # row 1 == a fresh renderer walking trajectory 2
+    rend2 = BinauralDynamicRendering(
+        room, pos[rec2], oris2, stim2, hrir_sh, update_ms=hop_ms,
+        use_whole_rir=True,
+    )
+    single2 = rend2.binaural_filter_overlap_add(backend="jax")
+    np.testing.assert_allclose(
+        multi[1], single2[: multi.shape[1]], atol=1e-5 * np.abs(single2).max()
+    )

@@ -31,6 +31,7 @@ def measure(
     hops: int = 30,
     update_ms: float = 100.0,
     backend: str = "host",
+    n_traj: int = 8,
 ) -> float:
     """Run the 6DoF binaural render benchmark; returns x-real-time."""
     import tempfile
@@ -68,6 +69,38 @@ def measure(
             use_whole_rir=True,
         )
         audio_s = rend.total_sim_len / fs
+        if backend == "multi":
+            # throughput serving path: B trajectories per dispatch (every
+            # trajectory gets its own stimulus + orientation list; the
+            # fixed dispatch/tunnel cost amortises 1/B)
+            t_len = hops * rend.hop_size
+            stimuli = rng.randn(n_traj, t_len).astype(np.float32)
+            many_oris = np.stack([
+                np.stack(
+                    [np.linspace(0, 2 * np.pi * (i + 1) / n_traj, hops),
+                     np.zeros(hops)], axis=-1,
+                )
+                for i in range(n_traj)
+            ])
+            rend.binaural_filter_overlap_add_multi(stimuli, many_oris)  # warm
+            walls = []
+            for i in range(1, 4):
+                stimuli = stimuli * (1.0 + 1e-6 * i)
+                t0 = time.time()
+                out = rend.binaural_filter_overlap_add_multi(
+                    stimuli, many_oris
+                )
+                walls.append(time.time() - t0)
+            wall = float(np.min(walls))
+            audio_s = n_traj * out.shape[1] / fs
+            print(
+                f"binaural 6DoF render[multi]: {audio_s:.1f}s of audio "
+                f"({n_traj} trajectories x {hops} hops, {rir_s:.1f}s "
+                f"order-2 SRIRs @ {fs:.0f} Hz) in {wall:.3f}s -> "
+                f"{audio_s / wall:.1f}x real time (batched device program)"
+            )
+            assert np.isfinite(out).all()
+            return audio_s / wall
         # warm caches (rfft plans / XLA compile + device constant upload)
         rend.binaural_filter_overlap_add(backend=backend)
         if backend == "host":
@@ -103,9 +136,15 @@ def main():
     ap.add_argument("--rir-s", type=float, default=1.0)
     ap.add_argument("--hops", type=int, default=30)
     ap.add_argument("--update-ms", type=float, default=100.0)
-    ap.add_argument("--backend", default="host", choices=["host", "jax", "both"])
+    ap.add_argument(
+        "--backend", default="host",
+        choices=["host", "jax", "multi", "both"],
+    )
     args = ap.parse_args()
-    backends = ["host", "jax"] if args.backend == "both" else [args.backend]
+    backends = (
+        ["host", "jax", "multi"] if args.backend == "both"
+        else [args.backend]
+    )
     for b in backends:
         measure(args.fs, args.rir_s, args.hops, args.update_ms, backend=b)
 
