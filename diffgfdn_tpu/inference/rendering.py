@@ -21,6 +21,7 @@ and an on-device overlap-add. Same semantics as the host loop
 """
 
 import functools
+import os
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -298,6 +299,10 @@ class BinauralDynamicRendering(DynamicRenderingMovingReceiver):
         self._prev_rot = None
         self._prev_rtf = None
         self._dev_consts = None  # jax-backend device-resident constants
+        self._dict_consts = None  # beamformed-RTF dictionary (device)
+        # dictionary-path override: None = auto (fits the memory budget),
+        # True/False = force. See _use_dict_path.
+        self.dict_path: Optional[bool] = None
 
     def get_binaural_rir(
         self, head_orientation: Tuple[float, float], rec_pos_idx: int,
@@ -380,8 +385,6 @@ class BinauralDynamicRendering(DynamicRenderingMovingReceiver):
         b = stimuli.shape[0]
         k_hops, hop = self.num_pos, self.hop_size
         assert stimuli.shape[1] == k_hops * hop, stimuli.shape
-        self._ensure_dev_consts()
-        rtf_re, rtf_im, hf_re, hf_im = self._dev_consts
 
         if orientations is None:
             orientations = np.broadcast_to(
@@ -408,12 +411,22 @@ class BinauralDynamicRendering(DynamicRenderingMovingReceiver):
             inv = np.broadcast_to(self._rtf_inv, (b, k_hops))
         else:
             inv = self._rtf_inv[np.asarray(rec_indices)]
-        fn = _multi_binaural_fn(k_hops, hop, self.num_freq_bins)
         segs = stimuli.reshape(b, k_hops, hop)
-        out = fn(
-            segs, w_rot, rtf_re, rtf_im, np.ascontiguousarray(inv),
-            hf_re, hf_im,
-        )
+        if self._use_dict_path():
+            d_re, d_im = self._ensure_dict_consts()
+            coef = np.stack(
+                [self._dict_coefs(w_rot[i], inv[i]) for i in range(b)]
+            )
+            fn = _multi_binaural_dict_fn(k_hops, hop, self.num_freq_bins)
+            out = fn(segs, coef, d_re, d_im)
+        else:
+            self._ensure_dev_consts()
+            rtf_re, rtf_im, hf_re, hf_im = self._dev_consts
+            fn = _multi_binaural_fn(k_hops, hop, self.num_freq_bins)
+            out = fn(
+                segs, w_rot, rtf_re, rtf_im, np.ascontiguousarray(inv),
+                hf_re, hf_im,
+            )
         return np.asarray(jax.block_until_ready(out), np.float64)
 
     def _ensure_dev_consts(self) -> None:
@@ -431,6 +444,80 @@ class BinauralDynamicRendering(DynamicRenderingMovingReceiver):
                 jax.device_put(np.ascontiguousarray(a))
                 for a in (rtf32.real, rtf32.imag, hf32.real, hf32.imag)
             )
+
+    def _conv_nfft(self) -> int:
+        """FFT size of the hop-convolution stage (power of two covering
+        one hop + the padded BRIR length)."""
+        seg_len = self.hop_size + self.num_freq_bins - 1
+        return 1 << (seg_len - 1).bit_length()
+
+    def _dict_nbytes(self) -> int:
+        """Device bytes of the beamformed-atom dictionary (re+im f32)."""
+        u, s = self._rtf_uniq.shape[:2]
+        n = self.ambi_hrtfs.shape[0]
+        f2 = self._conv_nfft() // 2 + 1
+        return u * s * n * 2 * f2 * 8
+
+    def _use_dict_path(self) -> bool:
+        """Select the dictionary render program (see _ensure_dict_consts).
+
+        Auto policy: use it whenever the dictionary fits the device memory
+        budget (``DIFFGFDN_BINAURAL_DICT_MB``, default 512 MB) — measured
+        faster than the einsum program whenever it fits, since it removes
+        the per-hop rotation/beamforming einsums AND the BRIR irfft→rfft
+        roundtrip from the hot program. Override with ``self.dict_path``.
+        """
+        if self.dict_path is not None:
+            return bool(self.dict_path)
+        budget_mb = float(os.environ.get("DIFFGFDN_BINAURAL_DICT_MB", 512.0))
+        return self._dict_nbytes() <= budget_mb * 2.0 ** 20
+
+    def _ensure_dict_consts(self):
+        """Build + upload the beamformed-RTF dictionary once.
+
+        Atom (u, s, n) is the binaural spectrum — at the CONVOLUTION fft
+        size — of unique-receiver ``u``'s ambi channel ``s`` beamformed
+        through conj(HRTF-SH) channel ``n``:
+        ``D[(u,s,n), f2, r] = rfft(irfft(rtf_u[s]·conj(hf[n,r]), nfft),
+        nfft2)``. Rotation + one-hop smoothing act LINEARLY on these
+        atoms, so every hop's convolution-ready BRTF is one real matmul
+        ``coef (K,J) @ D (J, F2·2)`` — MXU work instead of per-hop tiny
+        einsums, with the brir irfft/rfft roundtrip folded into the
+        precompute (host build peak is ~3.5x the dictionary size).
+        """
+        if self._dict_consts is None:
+            import jax
+
+            nfft2 = self._conv_nfft()
+            rtf = np.asarray(self._rtf_uniq, np.complex64)  # (U, S, F)
+            hfc = np.conj(np.asarray(self.ambi_hrtfs, np.complex64))
+            atoms = rtf[:, :, None, None, :] * hfc[None, None]  # (U,S,N,2,F)
+            atoms_t = np.fft.irfft(atoms, self.num_freq_bins, axis=-1)
+            d2 = np.fft.rfft(atoms_t.astype(np.float32), nfft2, axis=-1)
+            d2 = d2.astype(np.complex64)
+            u, s, n = d2.shape[:3]
+            d2 = d2.reshape(u * s * n, 2, -1).transpose(0, 2, 1)  # (J,F2,2)
+            self._dict_consts = tuple(
+                jax.device_put(np.ascontiguousarray(x))
+                for x in (d2.real, d2.imag)
+            )
+        return self._dict_consts
+
+    def _dict_coefs(self, w_rot: np.ndarray, inv: np.ndarray) -> np.ndarray:
+        """(K, J) real mixing weights onto the dictionary atoms:
+        ``A[k,(u,s,n)] = W[k,u] · w_rot[k,n,s]`` where ``W`` carries the
+        one-hop RTF smoothing (one-hot at k=0, half on the previous hop's
+        receiver after). Atom ordering matches _ensure_dict_consts."""
+        k_hops = w_rot.shape[0]
+        u = self._rtf_uniq.shape[0]
+        w = np.zeros((k_hops, u), np.float32)
+        w[0, inv[0]] = 1.0
+        if k_hops > 1:
+            rows = np.arange(1, k_hops)
+            np.add.at(w, (rows, inv[1:k_hops]), 0.5)
+            np.add.at(w, (rows, inv[: k_hops - 1]), 0.5)
+        a = np.einsum("ku,kns->kusn", w, np.asarray(w_rot, np.float32))
+        return np.ascontiguousarray(a.reshape(k_hops, -1))
 
     def _binaural_ola_jax(self) -> np.ndarray:
         """All hops of :meth:`binaural_filter_overlap_add` in one device
@@ -452,14 +539,22 @@ class BinauralDynamicRendering(DynamicRenderingMovingReceiver):
         )
         w_rot = np.concatenate([rot[:1], 0.5 * (rot[1:] + rot[:-1])])
 
-        self._ensure_dev_consts()
-        rtf_re, rtf_im, hf_re, hf_im = self._dev_consts
-        fn = _batched_binaural_fn(k_hops, hop, self.num_freq_bins)
         segs = self.extended_stimulus.reshape(k_hops, hop)
-        out = fn(
-            segs, np.asarray(w_rot, np.float32), rtf_re, rtf_im,
-            self._rtf_inv, hf_re, hf_im,
-        )
+        if self._use_dict_path():
+            d_re, d_im = self._ensure_dict_consts()
+            coef = self._dict_coefs(
+                np.asarray(w_rot, np.float32), self._rtf_inv
+            )
+            fn = _dict_binaural_fn(k_hops, hop, self.num_freq_bins)
+            out = fn(segs, coef, d_re, d_im)
+        else:
+            self._ensure_dev_consts()
+            rtf_re, rtf_im, hf_re, hf_im = self._dev_consts
+            fn = _batched_binaural_fn(k_hops, hop, self.num_freq_bins)
+            out = fn(
+                segs, np.asarray(w_rot, np.float32), rtf_re, rtf_im,
+                self._rtf_inv, hf_re, hf_im,
+            )
         return np.asarray(jax.block_until_ready(out), np.float64)
 
 
@@ -474,23 +569,11 @@ def _make_binaural_fn(k_hops: int, hop: int, nfft: int):
     end-truncated crossfade tails (rendering.py host path; reference
     sound_examples.py:430-539) are reproduced exactly.
     """
-    import jax
     import jax.numpy as jnp
 
     seg_len = hop + nfft - 1
     nfft2 = 1 << (seg_len - 1).bit_length()
-    n_chunks = -(-seg_len // hop)
-    # host-truncation offsets: hop k's tail is taken from its segment
-    # AFTER truncation to the output buffer, i.e. rows t_k .. t_k + hop
-    tail_start = np.array(
-        [
-            min(seg_len, (k_hops - k) * hop) - hop
-            for k in range(max(k_hops - 1, 1))
-        ],
-        np.int32,
-    )
-    f_in = fade_windows(hop, fade_out=False, uncorr_fade=True).astype(np.float32)
-    f_out = fade_windows(hop, fade_out=True, uncorr_fade=True).astype(np.float32)
+    tail = _make_ola_tail(k_hops, hop, seg_len)
 
     def fn(segs, w_rot, rtf_re, rtf_im, inv, hf_re, hf_im):
         rtf = (rtf_re + 1j * rtf_im)[inv]  # (K, S, Fb), unique -> per-hop
@@ -507,7 +590,60 @@ def _make_binaural_fn(k_hops: int, hop: int, nfft: int):
         sf = jnp.fft.rfft(segs, nfft2, axis=-1)  # (K, Fb2)
         bf = jnp.fft.rfft(brir, nfft2, axis=1)  # (K, Fb2, 2)
         seg_t = jnp.fft.irfft(sf[:, :, None] * bf, nfft2, axis=1)[:, :seg_len]
+        return tail(seg_t)
 
+    return fn
+
+
+def _make_binaural_dict_fn(k_hops: int, hop: int, nfft: int):
+    """Dictionary-path render body (see
+    BinauralDynamicRendering._ensure_dict_consts): (K,hop) stimulus
+    segments, (K,J) real atom weights, re/im dictionary (J,F2,2) at the
+    CONVOLUTION fft size -> (K*hop, 2) crossfaded binaural output.
+
+    Identical output to _make_binaural_fn (the irfft@nfft → zero-pad →
+    rfft@nfft2 roundtrip is folded into the precomputed atoms, which is
+    exact by linearity); the per-hop einsums become one MXU matmul and the
+    hot program keeps only the stimulus rfft + output irfft.
+    """
+    import jax.numpy as jnp
+
+    seg_len = hop + nfft - 1
+    nfft2 = 1 << (seg_len - 1).bit_length()
+    tail = _make_ola_tail(k_hops, hop, seg_len)
+
+    def fn(segs, coef, dict_re, dict_im):
+        bf = jnp.einsum("kj,jfr->kfr", coef, dict_re) + 1j * jnp.einsum(
+            "kj,jfr->kfr", coef, dict_im
+        )  # (K, F2, 2) convolution-ready BRTF
+        sf = jnp.fft.rfft(segs, nfft2, axis=-1)  # (K, F2)
+        seg_t = jnp.fft.irfft(sf[:, :, None] * bf, nfft2, axis=1)[:, :seg_len]
+        return tail(seg_t)
+
+    return fn
+
+
+def _make_ola_tail(k_hops: int, hop: int, seg_len: int):
+    """Shared back half of the batched binaural programs: sqrt crossfades
+    (fade-in on each hop's head, faded-out previous-hop tails taken after
+    the host loop's end-truncation) + stride-``hop`` overlap-add. Exactly
+    reproduces the host loop (reference sound_examples.py:430-539)."""
+    import jax.numpy as jnp
+
+    n_chunks = -(-seg_len // hop)
+    # host-truncation offsets: hop k's tail is taken from its segment
+    # AFTER truncation to the output buffer, i.e. rows t_k .. t_k + hop
+    tail_start = np.array(
+        [
+            min(seg_len, (k_hops - k) * hop) - hop
+            for k in range(max(k_hops - 1, 1))
+        ],
+        np.int32,
+    )
+    f_in = fade_windows(hop, fade_out=False, uncorr_fade=True).astype(np.float32)
+    f_out = fade_windows(hop, fade_out=True, uncorr_fade=True).astype(np.float32)
+
+    def tail(seg_t):
         # crossfade tails (from the unscaled, host-truncated segments)
         if k_hops > 1:
             idx = tail_start[:, None] + np.arange(hop)[None, :]  # (K-1, hop)
@@ -518,16 +654,16 @@ def _make_binaural_fn(k_hops: int, hop: int, nfft: int):
         scale = jnp.concatenate(
             [jnp.ones((1, hop)), jnp.broadcast_to(f_in, (k_hops - 1, hop))]
         )
-        seg_t = jnp.concatenate(
+        seg_t2 = jnp.concatenate(
             [seg_t[:, :hop] * scale[:, :, None], seg_t[:, hop:]], axis=1
         )
 
         # overlap-add at stride hop (static chunk loop)
         pad = n_chunks * hop - seg_len
-        chunks = jnp.pad(seg_t, ((0, 0), (0, pad), (0, 0))).reshape(
+        chunks = jnp.pad(seg_t2, ((0, 0), (0, pad), (0, 0))).reshape(
             k_hops, n_chunks, hop, 2
         )
-        out = jnp.zeros(((k_hops + n_chunks) * hop, 2), seg_t.dtype)
+        out = jnp.zeros(((k_hops + n_chunks) * hop, 2), seg_t2.dtype)
         for m in range(n_chunks):
             out = out.at[m * hop : (m + k_hops) * hop].add(
                 chunks[:, m].reshape(k_hops * hop, 2)
@@ -538,7 +674,7 @@ def _make_binaural_fn(k_hops: int, hop: int, nfft: int):
             )
         return out[: k_hops * hop]
 
-    return fn
+    return tail
 
 
 @functools.lru_cache(maxsize=8)
@@ -563,5 +699,28 @@ def _multi_binaural_fn(k_hops: int, hop: int, nfft: int):
         jax.vmap(
             _make_binaural_fn(k_hops, hop, nfft),
             in_axes=(0, 0, None, None, 0, None, None),
+        )
+    )
+
+
+@functools.lru_cache(maxsize=8)
+def _dict_binaural_fn(k_hops: int, hop: int, nfft: int):
+    """Jitted single-trajectory dictionary-path render
+    (see _make_binaural_dict_fn)."""
+    import jax
+
+    return jax.jit(_make_binaural_dict_fn(k_hops, hop, nfft))
+
+
+@functools.lru_cache(maxsize=8)
+def _multi_binaural_dict_fn(k_hops: int, hop: int, nfft: int):
+    """Jitted MULTI-trajectory dictionary-path render: vmap over stimulus
+    segments + per-trajectory atom weights, dictionary shared."""
+    import jax
+
+    return jax.jit(
+        jax.vmap(
+            _make_binaural_dict_fn(k_hops, hop, nfft),
+            in_axes=(0, 0, None, None),
         )
     )

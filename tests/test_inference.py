@@ -389,6 +389,59 @@ def test_binaural_jax_backend_matches_host(tmp_path):
     assert np.allclose(out_jax, out_host, atol=1e-4 * np.abs(out_host).max())
 
 
+def test_binaural_dict_path_matches_einsum(tmp_path):
+    """The beamformed-RTF dictionary program (atoms precomputed at the
+    convolution fft size, per-hop BRTF = one real matmul) is exactly the
+    einsum program by linearity; pin parity between the two device paths
+    and check the auto-selection bookkeeping."""
+    from diffgfdn_tpu.data.spatial_dataset import (
+        generate_spatial_three_room_pickle,
+        SpatialThreeRoomDataset,
+    )
+
+    path = generate_spatial_three_room_pickle(
+        tmp_path / "s.pkl", grid_spacing_m=1.2, rir_len_s=0.1,
+        decay_times=(0.03, 0.05, 0.04),
+    )
+    room = SpatialThreeRoomDataset(path)
+    reader = _mock_hrir_reader(tmp_path)
+    hrir_sh = reader.get_spherical_harmonic_representation(2)
+    rng = np.random.RandomState(3)
+    n_hops = 5
+    pos = np.tile(room.receiver_position[:3], (2, 1))[:n_hops]
+    oris = np.stack(
+        [np.linspace(0, np.pi, n_hops), np.linspace(-0.2, 0.3, n_hops)],
+        axis=-1,
+    )
+    hop_ms = 50
+    hop = int(room.sample_rate * hop_ms / 1000)
+    stim = rng.randn(n_hops * hop).astype(np.float32)
+    rend = BinauralDynamicRendering(
+        room, pos, oris, stim, hrir_sh, update_ms=hop_ms, use_whole_rir=True
+    )
+    # tiny problem: the dictionary comfortably fits the default budget
+    assert rend._use_dict_path()
+    rend.dict_path = True
+    out_dict = rend.binaural_filter_overlap_add(backend="jax")
+    rend.dict_path = False
+    out_einsum = rend.binaural_filter_overlap_add(backend="jax")
+    np.testing.assert_allclose(
+        out_dict, out_einsum, atol=2e-5 * np.abs(out_einsum).max()
+    )
+
+    # multi-trajectory front end: dict vs einsum parity too
+    stim2 = rng.randn(n_hops * hop).astype(np.float32)
+    stimuli = np.stack([rend.extended_stimulus[: n_hops * hop], stim2])
+    rend.dict_path = True
+    multi_dict = rend.binaural_filter_overlap_add_multi(stimuli)
+    rend.dict_path = False
+    multi_einsum = rend.binaural_filter_overlap_add_multi(stimuli)
+    np.testing.assert_allclose(
+        multi_dict, multi_einsum,
+        atol=2e-5 * np.abs(multi_einsum).max(),
+    )
+
+
 def test_loudness_normalization():
     rng = np.random.RandomState(0)
     sig = 0.01 * rng.randn(int(FS * 3))
