@@ -10,7 +10,9 @@ from diffgfdn_tpu.ops.mxu_fft import ifft_matmul_unscaled, irfft_matmul
 
 def test_irfft_matmul_matches_numpy():
     rng = np.random.RandomState(0)
-    for n in (16, 256, 1024):
+    # 16 exercises the square four-step split, 128 the unequal
+    # (n1 != n2) split; longer powers add only compile time
+    for n in (16, 128):
         x = rng.randn(3, n)
         h = np.fft.rfft(x, n).astype(np.complex64)
         ref = np.fft.irfft(h, n)
@@ -20,7 +22,7 @@ def test_irfft_matmul_matches_numpy():
 
 def test_irfft_matmul_sliced_windows():
     rng = np.random.RandomState(1)
-    n = 1024
+    n = 128
     h = np.fft.rfft(rng.randn(2, n), n).astype(np.complex64)
     ref = np.fft.irfft(h, n)
     for s, e in ((0, n), (n // 8, n // 2), (1, 7), (n // 2 + 1, n - 3)):
