@@ -271,6 +271,21 @@ class FeedbackLoop(nn.Module):
         eye = jnp.eye(self.num_delays, dtype=jnp.complex64)
         return ddecay[:, :, None].astype(jnp.complex64) * eye[None, :, :] - a_z
 
+    def block_responses(self, z: jnp.ndarray) -> jnp.ndarray:
+        """Per-group responses P_g(z) = loop_matrix_g(z)^-1, (G, F, Nper, Nper).
+
+        Zero-coupling only: the full P(z) is block-diagonal with these
+        blocks, so callers that contract P with per-group weights
+        (transfer_function_group_heads) can consume the blocks directly
+        and never materialize the (F, N, N) plane (~75 MB at flagship
+        scale, mostly structural zeros)."""
+        g = self.num_groups
+        nper = self.num_delay_lines_per_group
+        f = z.shape[0]
+        return self._inv(
+            self.loop_matrix_blocks(z).reshape(g * f, nper, nper)
+        ).reshape(g, f, nper, nper)
+
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
         """P(z) = loop_matrix(z)^-1, shape (F, N, N) complex64."""
         if self.is_block_diagonal:
@@ -278,9 +293,7 @@ class FeedbackLoop(nn.Module):
             g = self.num_groups
             nper = self.num_delay_lines_per_group
             f = z.shape[0]
-            p_blocks = self._inv(
-                self.loop_matrix_blocks(z).reshape(g * f, nper, nper)
-            ).reshape(g, f, nper, nper)
+            p_blocks = self.block_responses(z)
             p = jnp.zeros((f, self.num_delays, self.num_delays), jnp.complex64)
             for k in range(g):
                 s = k * nper
