@@ -512,26 +512,31 @@ class DiffGFDNSinglePos(DiffGFDN):
                 "input_scalars", lambda key: jnp.ones((g, 1)) / np.sqrt(g)
             )
 
-    def _head_response(self, z: jnp.ndarray, which: str) -> jnp.ndarray:
-        """(N, F) complex gain/filter response for input or output head."""
-        nper = self.num_delay_lines_per_group
+    def _group_response(self, z: jnp.ndarray, which: str) -> jnp.ndarray:
+        """(G, F) complex gain/filter response for input or output head."""
         if which == "output" and self.use_svf_in_output:
             resp, _, _ = svf_params_to_response(
                 self.output_svf_params, self._svf_cutoffs, z,
                 self.compress_pole_factor,
             )  # (G, F)
-            return expand_groups_to_delay_lines(resp, nper, axis=0)
+            return resp
         if which == "input" and self.use_svf_in_input:
             resp, _, _ = svf_params_to_response(
                 self.input_svf_params, self._svf_cutoffs, z,
                 self.compress_pole_factor,
             )
-            return expand_groups_to_delay_lines(resp, nper, axis=0)
+            return resp
         scalars = self.output_scalars if which == "output" else self.input_scalars
-        per_line = expand_groups_to_delay_lines(scalars[:, 0], nper, axis=0)
         return jnp.broadcast_to(
-            per_line.astype(jnp.complex64)[:, None],
-            (self.num_delay_lines, z.shape[0]),
+            scalars[:, :1].astype(jnp.complex64),
+            (self.num_groups, z.shape[0]),
+        )
+
+    def _head_response(self, z: jnp.ndarray, which: str) -> jnp.ndarray:
+        """(N, F) complex gain/filter response for input or output head."""
+        return expand_groups_to_delay_lines(
+            self._group_response(z, which), self.num_delay_lines_per_group,
+            axis=0,
         )
 
     def output_filter_params(self, x: Dict) -> Dict:
@@ -545,17 +550,15 @@ class DiffGFDNSinglePos(DiffGFDN):
 
     def __call__(self, x: Dict):
         z = x["z_values"]
-        f = z.shape[0]
-        n = self.num_delay_lines
-        c = self._head_response(z, "output") * self.output_gains.astype(
-            jnp.complex64
-        )
-        b = self._head_response(z, "input") * self.input_gains.astype(
-            jnp.complex64
-        )
         direct = x.get("target_early_response")
-        h = self.transfer_function(
-            z, c[None], b[None], None if direct is None else direct[None]
+        # heads are per GROUP (SVF cascades or scalars), so the group-
+        # pooled path applies — and with zero coupling it contracts the
+        # per-group blocks directly (no (F, N, N) plane, no (B, N, F)
+        # broadcasts); io gain columns are folded in by the pooled path
+        c_g = self._group_response(z, "output")[None]  # (1, G, F)
+        b_g = self._group_response(z, "input")[None]
+        h = self.transfer_function_group_heads(
+            z, c_g, b_g, None if direct is None else direct[None]
         )[0]
         if self.use_colorless_loss:
             return h, self.sub_fdn_output(z)

@@ -74,7 +74,7 @@ def _report(name, probes):
     print(json.dumps({"config": name, "probes": out}))
 
 
-def profile_fullband():
+def profile_fullband(svf: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -96,11 +96,11 @@ def profile_fullband():
     ])
     model = DiffGFDNVarReceiverPos(
         sample_rate=FS, num_groups=NUM_GROUPS, delays=DELAYS, gains=gains,
-        use_svf_in_output=False, num_hidden_layers=3, num_neurons=128,
+        use_svf_in_output=svf, num_hidden_layers=3, num_neurons=128,
         num_fourier_features=10, use_pallas_inverse=placement_is_tpu(),
     )
     cfg = TrainerConfig(batch_size=BATCH, num_freq_bins=NFFT, max_epochs=1,
-                        lr=1e-3)
+                        lr=1e-3, use_reg_loss=svf)
     trainer = GFDNTrainer(model, cfg, steps_per_epoch=21,
                           common_decay_times=np.asarray(T60S), sample_rate=FS)
     raw = bench.make_batch(f)
@@ -203,7 +203,9 @@ def profile_fullband():
         orig = trainer._model_outputs
         try:
             trainer._model_outputs = lambda p, b: (h, None)
-            total = sum(trainer._losses(None, batch, key).values())
+            # real params ride along: the svf-mode reg-loss branch
+            # evaluates the head from params even with the response frozen
+            total = sum(trainer._losses(params, batch, key).values())
         finally:
             trainer._model_outputs = orig
         return total
@@ -267,7 +269,63 @@ def profile_fullband():
 
     probes["gather_decode_only"] = timed(gather_probe, (jnp.float32(0.0),), name="gather_decode_only")
 
-    _report("fullband", probes)
+    if svf:
+        # SVF head response alone: MLP -> biquad cascades -> (B, G, F)
+        def _head_resp(m, x):
+            return m.output_filters(x)
+
+        @jax.jit
+        def head_probe(state):
+            (p,) = state
+            batch = decode_batch(trainer._gather_device(data, idx))
+            resp = model.apply(p, batch, method=_head_resp)
+            s = jnp.mean(jnp.real(resp) ** 2 + jnp.imag(resp) ** 2)
+            return (_scale_tree(p, s),)
+
+        probes["svf_head_fwd_only"] = timed(
+            head_probe, (params,), name="svf_head_fwd_only")
+
+        @jax.jit
+        def head_bwd_probe(state):
+            (p,) = state
+
+            def m(pp):
+                batch = decode_batch(trainer._gather_device(data, idx))
+                resp = model.apply(pp, batch, method=_head_resp)
+                return jnp.mean(jnp.real(resp) ** 2 + jnp.imag(resp) ** 2)
+
+            _, g = jax.value_and_grad(m)(p)
+            p = jax.tree_util.tree_map(lambda a, b: a - 1e-7 * b, p, g)
+            return (p,)
+
+        probes["svf_head_fwd_bwd"] = timed(
+            head_bwd_probe, (params,), name="svf_head_fwd_bwd")
+
+        # aliasing reg loss alone (head params -> biquad IR energy tail)
+        from diffgfdn_tpu.losses.gfdn import reg_loss
+        from diffgfdn_tpu.ops.basic import ms_to_samps
+
+        reg_len = ms_to_samps(cfg.output_filt_ir_len_ms, FS)
+
+        @jax.jit
+        def reg_probe(state):
+            (p,) = state
+
+            def m(pp):
+                batch = decode_batch(trainer._gather_device(data, idx))
+                head = model.apply(
+                    pp, batch, method=type(model).output_filter_params)
+                return reg_loss(head["biquad_num"], head["biquad_den"],
+                                reg_len)
+
+            _, g = jax.value_and_grad(m)(p)
+            p = jax.tree_util.tree_map(lambda a, b: a - 1e-7 * b, p, g)
+            return (p,)
+
+        probes["reg_loss_fwd_bwd"] = timed(
+            reg_probe, (params,), name="reg_loss_fwd_bwd")
+
+    _report("svf" if svf else "fullband", probes)
 
 
 def _band_setup():
@@ -546,6 +604,8 @@ if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "fullband"
     if which == "fullband":
         profile_fullband()
+    elif which == "svf":
+        profile_fullband(svf=True)
     elif which == "band_parallel":
         profile_band_parallel()
     elif which == "band_loss":
