@@ -532,13 +532,6 @@ class DiffGFDNSinglePos(DiffGFDN):
             (self.num_groups, z.shape[0]),
         )
 
-    def _head_response(self, z: jnp.ndarray, which: str) -> jnp.ndarray:
-        """(N, F) complex gain/filter response for input or output head."""
-        return expand_groups_to_delay_lines(
-            self._group_response(z, which), self.num_delay_lines_per_group,
-            axis=0,
-        )
-
     def output_filter_params(self, x: Dict) -> Dict:
         """Output-head biquad coefficients (for the aliasing reg loss)."""
         from .gain_heads import svf_params_to_biquads

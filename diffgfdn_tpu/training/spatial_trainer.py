@@ -255,13 +255,13 @@ class SpatialSamplingTrainer:
         receivers; GSPMD inserts the psum for the loss reduction). ``None``
         trains on the default single device.
 
-        NB: validation batches are padded to one shape by wrapping to the
-        head of ``valid_idx``, so for small validation splits the reported
-        valid loss slightly over-weights the wrapped items (training-side
-        duplication only reorders gradient noise; the metric bias is
-        bounded by (vbs - 1)/len(valid_idx) of one batch's weight)."""
+        Validation is evaluated over full batches plus an unpadded
+        remainder batch and combined as an item-count-weighted mean, so
+        the reported valid loss is the exact unpadded per-item mean (no
+        wrap-around over-weighting). Training batches stay wrap-padded
+        (duplicates there only reorder gradient noise)."""
         from .scan import scan_epoch
-        from .trainer import padded_batches
+        from .trainer import exact_valid_batches, padded_batches
 
         if len(train_idx) == 0:
             raise ValueError(
@@ -331,13 +331,17 @@ class SpatialSamplingTrainer:
             step_fn = jax.jit(train_step, donate_argnums=(0, 1))
             vstep_fn = jax.jit(lambda p, idx: self._loss_fn(p, gather(idx))[0])
 
-        vidx_mat = None
+        vidx_mat, vrem, vbs = None, np.empty(0, np.int64), 0
         if valid_idx is not None and len(valid_idx):
             vbs = min(self.cfg.batch_size, len(valid_idx))
-            vidx_mat = jnp.asarray(
-                np.stack(list(padded_batches(np.asarray(valid_idx), vbs))),
-                jnp.int32,
-            )
+            vfull, vrem = exact_valid_batches(np.asarray(valid_idx), vbs)
+            if vfull:
+                vidx_mat = jnp.asarray(np.stack(vfull), jnp.int32)
+        vrem_fn = (
+            jax.jit(lambda p, idx: self._loss_fn(p, gather(idx))[0])
+            if len(vrem)
+            else None
+        )
         rng = np.random.RandomState(seed)
         for epoch in range(self.cfg.max_epochs):
             t0 = time.time()
@@ -355,16 +359,26 @@ class SpatialSamplingTrainer:
                     )
                     total = loss if total is None else total + loss
                 self.train_loss.append(float(total) / max(len(batches), 1))
-            if vidx_mat is not None:
-                if self.scan_epochs:
-                    self.valid_loss.append(
-                        float(jnp.mean(valid_fn(params, vidx_mat)))
-                    )
-                else:
-                    vs = [
-                        float(vstep_fn(params, row)) for row in vidx_mat
-                    ]
-                    self.valid_loss.append(float(np.mean(vs)))
+            if vidx_mat is not None or len(vrem):
+                # item-count-weighted mean over full batches + unpadded
+                # remainder = exact unpadded per-item mean (no wrap bias)
+                vtot, vweight = 0.0, 0
+                if vidx_mat is not None:
+                    if self.scan_epochs:
+                        vtot += float(
+                            jnp.sum(valid_fn(params, vidx_mat))
+                        ) * vbs
+                    else:
+                        vtot += vbs * sum(
+                            float(vstep_fn(params, row)) for row in vidx_mat
+                        )
+                    vweight += vbs * vidx_mat.shape[0]
+                if len(vrem):
+                    vtot += float(
+                        vrem_fn(params, jnp.asarray(vrem, jnp.int32))
+                    ) * len(vrem)
+                    vweight += len(vrem)
+                self.valid_loss.append(vtot / vweight)
             save_checkpoint(self._checkpoint_dir(), epoch, params)
             logger.info(
                 "spatial epoch %d train %.4f%s (%.2fs)",

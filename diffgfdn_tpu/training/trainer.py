@@ -62,6 +62,24 @@ def padded_batches(idx: np.ndarray, batch_size: int):
         yield b
 
 
+def exact_valid_batches(idx: np.ndarray, batch_size: int):
+    """Full batches plus an UNPADDED remainder batch (validation splits).
+
+    Unlike ``padded_batches`` nothing wraps around, so an item-count-
+    weighted mean over the returned batches equals the unpadded per-item
+    mean exactly — no over-weighting of wrapped duplicates. The remainder
+    batch compiles once at its own static shape (validation-only cost).
+    Returns ``(full_batches, remainder)`` where ``remainder`` may be empty.
+    """
+    idx = np.asarray(idx)
+    n = len(idx)
+    full = [
+        idx[k * batch_size : (k + 1) * batch_size]
+        for k in range(n // batch_size)
+    ]
+    return full, idx[(n // batch_size) * batch_size :]
+
+
 class GFDNTrainer:
     """Trainer for position-conditioned (grid) GFDNs."""
 
@@ -448,10 +466,12 @@ class GFDNTrainer:
                 self._make_indexed_epoch(), donate_argnums=(0, 1)
             )
             valid_epoch = jax.jit(self._make_indexed_valid_epoch())
-            vbatches = list(padded_batches(valid_idx, vbs))
+            vfull, vrem = exact_valid_batches(valid_idx, vbs)
             vidx_mat = (
-                jnp.asarray(np.stack(vbatches), jnp.int32)
-                if vbatches else None
+                jnp.asarray(np.stack(vfull), jnp.int32) if vfull else None
+            )
+            valid_step = (
+                jax.jit(self._make_indexed_step(False)) if len(vrem) else None
             )
         else:
             train_step = jax.jit(
@@ -489,12 +509,33 @@ class GFDNTrainer:
                 self.individual_train_loss.append(
                     {k: float(jnp.mean(v)) for k, v in auxs.items()}
                 )
-                if vidx_mat is not None:
-                    key, vk = jax.random.split(key)
-                    vtotals, vauxs = valid_epoch(params, data, vidx_mat, vk)
-                    self.valid_loss.append(float(jnp.mean(vtotals)))
+                if vidx_mat is not None or len(vrem):
+                    # item-count-weighted mean over full batches + the
+                    # unpadded remainder = exact unpadded per-item mean
+                    vtot, vaux_sum, vweight = 0.0, {}, 0
+                    if vidx_mat is not None:
+                        key, vk = jax.random.split(key)
+                        vtotals, vauxs = valid_epoch(
+                            params, data, vidx_mat, vk
+                        )
+                        vtot += float(jnp.sum(vtotals)) * vbs
+                        for k_, v in vauxs.items():
+                            vaux_sum[k_] = float(jnp.sum(v)) * vbs
+                        vweight += vbs * vidx_mat.shape[0]
+                    if len(vrem):
+                        key, rk = jax.random.split(key)
+                        rtot, raux = valid_step(
+                            params, data, jnp.asarray(vrem, jnp.int32), rk
+                        )
+                        vtot += float(rtot) * len(vrem)
+                        for k_, v in raux.items():
+                            vaux_sum[k_] = (
+                                vaux_sum.get(k_, 0.0) + float(v) * len(vrem)
+                            )
+                        vweight += len(vrem)
+                    self.valid_loss.append(vtot / vweight)
                     self.individual_valid_loss.append(
-                        {k: float(jnp.mean(v)) for k, v in vauxs.items()}
+                        {k_: v / vweight for k_, v in vaux_sum.items()}
                     )
                 else:
                     self.valid_loss.append(0.0)
@@ -520,18 +561,25 @@ class GFDNTrainer:
                         ep_all[kk] = v if kk not in ep_all else ep_all[kk] + v
                     n_train += 1
 
-                ev_loss, ev_all, n_valid = None, {}, 0
-                for vidx in padded_batches(valid_idx, vbs):
+                # validation: item-count-weighted over full + remainder
+                # batches (exact unpadded per-item mean, no wrap bias)
+                ev_loss, ev_all, w_valid = None, {}, 0
+                vfull_b, vrem_b = exact_valid_batches(valid_idx, vbs)
+                vbatch_list = vfull_b + ([vrem_b] if len(vrem_b) else [])
+                for vidx in vbatch_list:
                     key, sub = jax.random.split(key)
                     total, aux = valid_step(
                         params, data, jnp.asarray(vidx, jnp.int32), sub
                     )
-                    ev_loss = total if ev_loss is None else ev_loss + total
+                    w = len(vidx)
+                    ev_loss = (
+                        total * w if ev_loss is None else ev_loss + total * w
+                    )
                     for kk, v in aux.items():
                         ev_all[kk] = (
-                            v if kk not in ev_all else ev_all[kk] + v
+                            v * w if kk not in ev_all else ev_all[kk] + v * w
                         )
-                    n_valid += 1
+                    w_valid += w
 
                 self.train_loss.append(
                     float(ep_loss) / max(n_train, 1)
@@ -541,11 +589,11 @@ class GFDNTrainer:
                     {k: float(v) / max(n_train, 1) for k, v in ep_all.items()}
                 )
                 self.valid_loss.append(
-                    float(ev_loss) / max(n_valid, 1)
+                    float(ev_loss) / max(w_valid, 1)
                     if ev_loss is not None else 0.0
                 )
                 self.individual_valid_loss.append(
-                    {k: float(v) / max(n_valid, 1) for k, v in ev_all.items()}
+                    {k: float(v) / max(w_valid, 1) for k, v in ev_all.items()}
                 )
             save_checkpoint(self.cfg.train_dir, epoch, params)
             save_opt_state(self.cfg.train_dir, epoch, opt_state)

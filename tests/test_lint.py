@@ -43,6 +43,7 @@ def test_migrating_guide_paths_exist():
         c
         for c in re.findall(r"`([\w][\w-]*/[\w/.-]+)`", text)
         if not c.startswith("src/")  # reference-side paths
+        and not c.startswith("notebooks/")  # reference notebook paths
         and "data/config" not in c  # reference preset dir
     }
     assert len(cited) > 40, f"expected a dense map, found {len(cited)} paths"

@@ -182,6 +182,52 @@ def test_spatial_fit_indexed_scan_matches_per_step(tmp_path, spatial_room):
     )
 
 
+def test_spatial_indexed_valid_loss_batch_size_invariant(
+    tmp_path, spatial_room
+):
+    """The valid metric is the exact per-item mean: independent of how the
+    validation split is batched (full + remainder weighting, no wrap-around
+    over-weighting). Uses the omni MSE loss, which is linear per item."""
+    import copy
+
+    import jax
+
+    from diffgfdn_tpu.data.batching import iterate_batches
+    from diffgfdn_tpu.data.spatial_dataset import arrays_from_spatial_dataset
+    from diffgfdn_tpu.training.spatial_trainer import (
+        build_spatial_model,
+        SpatialSamplingTrainer,
+    )
+
+    room = copy.deepcopy(spatial_room)
+    room.amplitudes = spatial_room.amplitudes.mean(axis=1)  # omni
+    room.sph_directions = None
+    arrays = arrays_from_spatial_dataset(room)
+    n = arrays.num_items if hasattr(arrays, "num_items") else len(
+        np.asarray(arrays.listener_position)
+    )
+    assert n >= 27, "fixture too small for this split"
+    train_idx = np.arange(8)  # <= both batch sizes: identical training
+    valid_idx = np.arange(8, 27)  # 19 items
+
+    losses = {}
+    for bs in (16, 19):
+        cfg = _config(tmp_path / f"bs{bs}", directional=False, epochs=2)
+        cfg.batch_size = bs
+        model = build_spatial_model(cfg, room.num_rooms, room.ambi_order)
+        example = next(
+            iterate_batches(arrays, train_idx, min(bs, 8), shuffle=False)
+        )
+        params0 = model.init(jax.random.PRNGKey(0), example)
+        trainer = SpatialSamplingTrainer(model, cfg, room, use_edc_loss=False)
+        p = jax.tree_util.tree_map(lambda x: x.copy(), params0)
+        trainer.fit_indexed(p, arrays, train_idx, valid_idx, seed=3)
+        losses[bs] = list(trainer.valid_loss)
+    # bs=16 splits valid into a full batch of 16 + remainder of 3;
+    # bs=19 evaluates it as one unpadded batch — the weighted means agree
+    np.testing.assert_allclose(losses[16], losses[19], rtol=1e-5)
+
+
 def test_collapse_amplitudes_to_omni_guards_on_direction_axis():
     """The omni collapse averages the DIRECTION axis, never slopes/bands.
 

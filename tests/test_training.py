@@ -144,6 +144,52 @@ def test_single_pos_training(tmp_path, room):
     assert np.isfinite(trainer.train_loss).all()
 
 
+def test_indexed_valid_loss_exact_unpadded_mean(tmp_path, room):
+    """The reported valid loss is the exact unpadded per-item-weighted mean
+    over full batches plus an unpadded remainder batch — wrap-around
+    padding no longer over-weights the head of the validation split."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffgfdn_tpu.data.batching import (
+        arrays_from_room_dataset,
+        gather_batch,
+    )
+    from diffgfdn_tpu.training.build import build_gfdn_model
+    from diffgfdn_tpu.training.trainer import GFDNTrainer
+    from diffgfdn_tpu.utils.cio import init_with_batch
+
+    cfg = small_config(tmp_path, max_epochs=1, batch_size=4)
+    model = build_gfdn_model(
+        cfg,
+        common_decay_times=room.common_decay_times,
+        band_centre_hz=room.band_centre_hz,
+    )
+    tc = cfg.trainer_config
+    arrays = arrays_from_room_dataset(room)
+    train_idx = np.arange(8)
+    valid_idx = np.arange(8, 14)  # 6 items: one full batch of 4 + remainder 2
+    trainer = GFDNTrainer(
+        model,
+        tc,
+        steps_per_epoch=2,
+        common_decay_times=room.common_decay_times,
+        sample_rate=cfg.sample_rate,
+    )
+    trainer.precompute_target_features(arrays)
+    example = gather_batch(arrays, np.arange(tc.batch_size))
+    params = init_with_batch(model, jax.random.PRNGKey(cfg.seed), example)
+    params = trainer.fit_indexed(params, arrays, train_idx, valid_idx, seed=0)
+
+    vstep = jax.jit(trainer._make_indexed_step(False))
+    data = trainer.upload_arrays(arrays)
+    key = jax.random.PRNGKey(0)  # unused: use_edc_mask is False
+    m_full, _ = vstep(params, data, jnp.asarray(valid_idx[:4], jnp.int32), key)
+    m_rem, _ = vstep(params, data, jnp.asarray(valid_idx[4:], jnp.int32), key)
+    expected = (4.0 * float(m_full) + 2.0 * float(m_rem)) / 6.0
+    assert np.isclose(trainer.valid_loss[-1], expected, rtol=1e-5)
+
+
 def test_scan_epoch_matches_per_step(tmp_path, room):
     """fit_indexed's scanned-epoch path (one lax.scan dispatch per epoch)
     trains identically to the per-step dispatch loop."""
