@@ -96,8 +96,9 @@ def test_no_default_backend_in_kernel_dispatch_paths():
 
 def test_tdgfdn_kernel_policy_is_measured():
     """The compiled TD kernel is selected only on TPU placement AND with a
-    recorded measurement showing it at least as fast as the scan (the
-    production synthesize path passes use_pallas=None through this)."""
+    recorded measurement showing it DECISIVELY faster than the scan — a
+    parity-level reading inside measurement noise must not flip production
+    behavior (the hysteresis margin, kernels/tdgfdn.py)."""
     from diffgfdn_tpu.kernels import tdgfdn
 
     delays = (641, 757, 809, 877)
@@ -117,6 +118,13 @@ def test_tdgfdn_kernel_policy_is_measured():
         assert tdgfdn.use_pallas_kernel(delays, devices=devs)
         tdgfdn.record_kernel_timing(delays, kernel_dt=2.0, scan_dt=1.0)
         assert not tdgfdn.use_pallas_kernel(delays, devices=devs)
+        # hysteresis: a 2% win is measurement noise, not a selection —
+        # the kernel must beat the scan by the full margin
+        tdgfdn.record_kernel_timing(delays, kernel_dt=0.98, scan_dt=1.0)
+        assert not tdgfdn.use_pallas_kernel(delays, devices=devs)
+        margin = tdgfdn._KERNEL_SELECTION_MARGIN
+        tdgfdn.record_kernel_timing(delays, kernel_dt=margin, scan_dt=1.0)
+        assert tdgfdn.use_pallas_kernel(delays, devices=devs)
         tdgfdn._KERNEL_TIMINGS.pop(key, None)
         # no measurement: default to the scan
         assert not tdgfdn.use_pallas_kernel(delays, devices=devs)
