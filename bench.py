@@ -398,6 +398,156 @@ def bench_tdgfdn_kernel(dur_s: float = 2.0, num_receivers: int = 838):
     return xrt, dts["kernel"] / dts["scan"], dts["kernel"], dts["scan"]
 
 
+def _production_dataset(tmpdir: str) -> str:
+    """Synthetic Treble-scale dataset: 838 receivers, fs 32 kHz, 4.096-s RIRs.
+
+    The real 838-receiver Treble pickle is git-LFS-hosted and absent
+    (SURVEY §7.3); this generates the structurally identical synthetic
+    counterpart at the REFERENCE'S production scale (dataloader.py:425-480:
+    838 receivers, nfft 131072).
+    """
+    import pickle
+    from pathlib import Path
+
+    from diffgfdn_tpu.data.synthetic import generate_three_room_pickle
+
+    path = Path(tmpdir) / "srirs_production.pkl"
+    t0 = time.time()
+    generate_three_room_pickle(
+        path, fs=FS, num_rec_per_room=280, rir_len_s=NFFT / FS,
+        decay_times=T60S, seed=0,
+    )
+    with open(path, "rb") as fh:
+        data = pickle.load(fh)
+    n = 838  # exact reference receiver count (840 generated; trim 2)
+    data["rcvPos"] = data["rcvPos"][:, :n]
+    data["srirs"] = np.asarray(data["srirs"][:n], np.float32)
+    data["amplitudes"] = data["amplitudes"][:, :n]
+    data["noise_floor"] = data["noise_floor"][:, :n]
+    with open(path, "wb") as fh:
+        pickle.dump(data, fh)
+    log(f"production dataset: 838 receivers x {NFFT} samples "
+        f"({time.time() - t0:.1f}s)")
+    return str(path)
+
+
+def bench_fullband_production(dataset_path: str, tmpdir: str):
+    """End-to-end flagship training at REFERENCE PRODUCTION SCALE.
+
+    838 receivers, nfft=131072, 20 epochs, batch 32 — through the REAL
+    solver path (run_training_var_receiver_pos: pickle parse -> splits ->
+    precomputed target features -> device-resident scanned epochs ->
+    per-epoch checkpoints -> .mat export). The reference's corresponding
+    deliverable is run_subband_training_treble.py:175-375 /
+    trainer.py:338-564 at exactly this scale. Returns
+    (wallclock_s, epochs_run, final_valid_edc_db).
+    """
+    from pathlib import Path
+
+    from diffgfdn_tpu.config.schema import (
+        ColorlessFDNConfig,
+        DiffGFDNConfig,
+        OutputFilterConfig,
+        TrainerConfig,
+    )
+    from diffgfdn_tpu.data.room_dataset import ThreeRoomDataset
+    from diffgfdn_tpu.training.solver import run_training_var_receiver_pos
+
+    cfg = DiffGFDNConfig(
+        seed=235,
+        room_dataset_path=dataset_path,
+        num_groups=NUM_GROUPS,
+        sample_rate=FS,
+        num_delay_lines=12,
+        trainer_config=TrainerConfig(
+            batch_size=BATCH, num_freq_bins=NFFT, max_epochs=20,
+            lr=1e-3, io_lr=1e-3, coupling_angle_lr=1e-3,
+            train_dir=str(Path(tmpdir) / "fullband"),
+        ),
+        output_filter_config=OutputFilterConfig(
+            use_svfs=False, num_hidden_layers=3, num_neurons_per_layer=128,
+        ),
+        colorless_fdn_config=ColorlessFDNConfig(
+            use_colorless_prototype=False
+        ),
+    )
+    t0 = time.time()
+    room = ThreeRoomDataset(dataset_path, nfft=NFFT)
+    trainer, _ = run_training_var_receiver_pos(cfg, room_data=room)
+    wall = time.time() - t0
+    epochs = len(trainer.train_loss)
+    edc = float(
+        trainer.individual_valid_loss[-1].get("edc_loss", float("nan"))
+    )
+    log(
+        f"fullband production: {wall:.1f}s end-to-end "
+        f"(parse+features+compile+{epochs} epochs+checkpoints+export), "
+        f"final valid EDC {edc:.2f} dB"
+    )
+    return wall, epochs, edc
+
+
+def bench_subband_production(dataset_path: str, tmpdir: str):
+    """Full 8-band subband pipeline at REFERENCE PRODUCTION SCALE.
+
+    Band-parallel training of all 8 octave bands (20 epochs, full loss
+    stack incl. colorless, per-band checkpoints), then checkpoint
+    inference + broadband resynthesis + per-receiver EDC error over all
+    838 receivers — resynthesis and error computed ON DEVICE
+    (broadband_edc_errors_device: only 838 error scalars cross the
+    tunnel). Reference: run_subband_training_treble.py:175-375. Returns
+    (wallclock_s, train_s, infer_s, mean_edc_err_db).
+    """
+    from pathlib import Path
+
+    from diffgfdn_tpu.cli.run_subband_training import (
+        create_config,
+        DEFAULT_FREQS,
+        training_band_parallel,
+    )
+    from diffgfdn_tpu.data.room_dataset import ThreeRoomDataset
+    from diffgfdn_tpu.inference.gfdn_inference import (
+        broadband_edc_errors_device,
+    )
+
+    base = str(Path(tmpdir) / "subband")
+    configs = [
+        create_config(
+            fc, dataset_path, base, NFFT, sample_rate=FS, max_epochs=20
+        )
+        for fc in DEFAULT_FREQS
+    ]
+    t0 = time.time()
+    room = ThreeRoomDataset(dataset_path, nfft=NFFT)
+    training_band_parallel(configs, room_data=room)
+    train_s = time.time() - t0
+    t1 = time.time()
+    errs = broadband_edc_errors_device(
+        configs, room, np.arange(room.num_rec)
+    )
+    infer_s = time.time() - t1
+    wall = time.time() - t0
+    mean_edc = float(np.mean(errs))
+    try:
+        from diffgfdn_tpu.utils.plot import plot_position_map
+
+        fig_path = str(Path(tmpdir) / "production_edc_error_map.png")
+        plot_position_map(
+            room.receiver_position, errs, room.room_dims,
+            room.room_start_coord, title="broadband EDC error",
+            cbar_label="dB", save_path=fig_path,
+        )
+        log(f"EDC error map saved: {fig_path}")
+    except Exception as e:  # noqa: BLE001
+        log("edc map figure failed:", repr(e))
+    log(
+        f"subband production pipeline: {wall:.1f}s "
+        f"(train {train_s:.1f}s + all-band device inference {infer_s:.1f}s), "
+        f"mean broadband EDC error {mean_edc:.2f} dB over 838 receivers"
+    )
+    return wall, train_s, infer_s, mean_edc
+
+
 # 27 co-prime delays (9 per group) for the directional config: ambisonic
 # order 2 => 9 SH channels per group, 3 coupled groups (BASELINE config 3)
 DIR_DELAYS = (
@@ -1196,6 +1346,35 @@ def bench_convergence():
     return res["ours_final_edc_db"], res["torch_final_edc_db"]
 
 
+def bench_convergence_flagship():
+    """Convergence parity at the REFERENCE PRODUCTION SHAPE: full nfft
+    131072 (65537 rFFT bins), fs 32 kHz, batch 32, the 3x128 MLP head,
+    2-s-class decays — ours on the chip, the eager-torch twin on CPU, 20
+    epochs each from matched init/data (tools/convergence.py scale=
+    "flagship"; VERDICT r4 item 3: pins fft precision + fused-solve VJP
+    behaviour at the scale where they matter).
+    """
+    import tempfile
+
+    from tools.convergence import compare
+
+    with tempfile.TemporaryDirectory() as d:
+        res = compare(d, max_epochs=20, scale="flagship")
+    log(
+        "flagship convergence: final valid EDC ours "
+        f"{res['ours_final_edc_db']:.3f} dB vs torch "
+        f"{res['torch_final_edc_db']:.3f} dB; best "
+        f"{min(res['ours_valid_edc_db']):.3f} vs "
+        f"{min(res['torch_valid_edc_db']):.3f}"
+    )
+    return (
+        res["ours_final_edc_db"],
+        res["torch_final_edc_db"],
+        float(min(res["ours_valid_edc_db"])),
+        float(min(res["torch_valid_edc_db"])),
+    )
+
+
 def _try(name, fn, *args, **kwargs):
     try:
         return fn(*args, **kwargs)
@@ -1217,6 +1396,36 @@ def main():
         spatial_res if spatial_res is not None else (None, None)
     )
     conv = _try("convergence parity", bench_convergence)
+
+    # --- production-scale end-to-end proofs (real chip only) ---
+    fullband_prod = subband_prod = conv_flagship = None
+    try:
+        from diffgfdn_tpu.utils.placement import placement_is_tpu
+
+        run_production = placement_is_tpu()
+    except Exception:  # noqa: BLE001
+        run_production = False
+    if run_production:
+        conv_flagship = _try(
+            "flagship convergence", bench_convergence_flagship
+        )
+    if run_production:
+        import tempfile
+
+        prod_tmp = tempfile.mkdtemp(prefix="dgfdn_prod_")
+        prod_path = _try("production dataset", _production_dataset, prod_tmp)
+        if prod_path is not None:
+            fullband_prod = _try(
+                "fullband production",
+                bench_fullband_production, prod_path, prod_tmp,
+            )
+            subband_prod = _try(
+                "subband production",
+                bench_subband_production, prod_path, prod_tmp,
+            )
+    else:
+        log("production-scale benches skipped: not TPU-placed")
+
     binaural_xrt = _try("binaural render", bench_binaural_render)
     binaural_dev_xrt = _try(
         "binaural render (device)", bench_binaural_render, backend="jax"
@@ -1314,6 +1523,45 @@ def main():
             "unit": "ms_2s_12line_synthesis_interleaved_best",
             "vs_baseline": round(kernel_dt / scan_dt, 2),
         })
+    if fullband_prod is not None:
+        fp_wall, fp_epochs, fp_edc = fullband_prod
+        # torch-CPU estimate: measured eager step time x the reference's
+        # 20-epoch x 21-batch envelope (run_subband_training_treble.py)
+        torch_est = None if cpu_sps is None else 20 * 21 / cpu_sps
+        extra.append({
+            "metric": "fullband_time_to_train_s",
+            "value": round(fp_wall, 1),
+            "unit": f"s_end_to_end_838rec_nfft131072_{fp_epochs}epoch",
+            "vs_baseline": (
+                None if torch_est is None else round(torch_est / fp_wall, 1)
+            ),
+        })
+        extra.append({
+            "metric": "fullband_production_final_edc_db",
+            "value": round(fp_edc, 3),
+            "unit": "db_final_valid_edc_838rec_nfft131072",
+            "vs_baseline": None,
+        })
+    if subband_prod is not None:
+        sp_wall, sp_train, sp_infer, sp_edc = subband_prod
+        torch_est8 = None if cpu_sps is None else 8 * 20 * 21 / cpu_sps
+        extra.append({
+            "metric": "subband_pipeline_wallclock_s",
+            "value": round(sp_wall, 1),
+            "unit": (
+                f"s_8band_train{sp_train:.0f}s_infer{sp_infer:.0f}s_"
+                "838rec_nfft131072_20epoch"
+            ),
+            "vs_baseline": (
+                None if torch_est8 is None else round(torch_est8 / sp_wall, 1)
+            ),
+        })
+        extra.append({
+            "metric": "subband_broadband_mean_edc_err_db",
+            "value": round(sp_edc, 3),
+            "unit": "db_mean_edc_err_838rec_device_resynthesis",
+            "vs_baseline": None,
+        })
     if conv is not None:
         ours_edc, torch_edc = conv
         extra.append({
@@ -1323,6 +1571,17 @@ def main():
             # torch-reference final EDC / ours: >= 1 means we converge to
             # an answer at least as good as the reference algorithm's
             "vs_baseline": round(torch_edc / ours_edc, 4),
+        })
+    if conv_flagship is not None:
+        cf_ours, cf_torch, cf_ours_best, cf_torch_best = conv_flagship
+        extra.append({
+            "metric": "train_convergence_flagship_edc_db",
+            "value": round(cf_ours, 4),
+            "unit": (
+                f"db_final_valid_edc_20epoch_nfft131072_best"
+                f"{cf_ours_best:.2f}_torchbest{cf_torch_best:.2f}"
+            ),
+            "vs_baseline": round(cf_torch / cf_ours, 4),
         })
     if binaural_xrt is not None:
         extra.append({

@@ -475,3 +475,64 @@ def test_band_parallel_full_loss_stack_matches_sequential(dataset, tmp_path):
                 np.asarray(aux[name])[b], float(aux_b[name]),
                 rtol=1e-5, atol=1e-5,
             )
+
+
+def test_broadband_edc_errors_device_matches_host(
+    dataset, tmp_path, monkeypatch
+):
+    """The on-device all-band resynthesis + EDC-error program equals the
+    host path (infer_all_octave_bands + merge_subband_rirs + numpy
+    Schroeder) at toy scale — the frequency-domain circular band filtering
+    differs from linear convolution only below the decayed tail."""
+    import jax.numpy as jnp
+
+    from diffgfdn_tpu.cli import run_subband_training as rst
+    from diffgfdn_tpu.data.batching import arrays_from_room_dataset
+    from diffgfdn_tpu.data.room_dataset import ThreeRoomDataset
+    from diffgfdn_tpu.inference.gfdn_inference import (
+        broadband_edc_errors_device,
+        infer_all_octave_bands,
+    )
+    from diffgfdn_tpu.ops.basic import db, ms_to_samps, schroeder_backward_int
+
+    monkeypatch.setattr(
+        rst, "BAND_MLP_PARAMS", {500.0: (1, 16), 1000.0: (1, 16)}
+    )
+    configs = [
+        rst.create_config(
+            f, dataset, str(tmp_path / "dev"), num_freq_bins=1024,
+            sample_rate=8000.0, max_epochs=1, batch_size=8,
+            use_colorless_loss=False,
+        )
+        for f in (500.0, 1000.0)
+    ]
+    rst.training_band_parallel(configs)
+    room = ThreeRoomDataset(dataset, nfft=1024)
+    idx = np.arange(6)
+    fir_len = 128
+
+    errs_dev = broadband_edc_errors_device(
+        configs, room, idx, batch_size=4, fir_len=fir_len
+    )
+    assert errs_dev.shape == (6,)
+    assert np.isfinite(errs_dev).all()
+
+    rirs = infer_all_octave_bands(configs, room, idx, fir_len=fir_len)
+    arrays = arrays_from_room_dataset(room)
+    nfft, fs = 1024, 8000.0
+    tgt_rirs = np.fft.irfft(
+        np.asarray(arrays.target_rir_response)[idx], nfft, axis=-1
+    )
+    mix = ms_to_samps(20.0, fs)
+    end = min(
+        ms_to_samps(float(np.max(room.common_decay_times)) * 1e3, fs), nfft
+    )
+
+    def edc_db(x):
+        return np.asarray(
+            db(schroeder_backward_int(jnp.asarray(x[..., mix:end])),
+               is_squared=True)
+        )
+
+    errs_host = np.mean(np.abs(edc_db(rirs) - edc_db(tgt_rirs)), axis=-1)
+    np.testing.assert_allclose(errs_dev, errs_host, atol=0.2, rtol=0.02)

@@ -36,6 +36,47 @@ BATCH = 8
 MIX_MS = 20.0
 EDR_WIN = 512
 EDR_HOP = 256
+REC_PER_ROOM = 8
+RIR_LEN_S = 0.25
+DECAY_TIMES = (0.08, 0.12, 0.1)
+MLP_LAYERS = 1
+MLP_NEURONS = 16
+
+# Two proven scales. "toy" is the round-4 comparable configuration;
+# "flagship" is the REFERENCE PRODUCTION SHAPE — full nfft 131072 (65537
+# rFFT bins), fs 32 kHz, batch 32, the flagship 3x128 MLP head, 2-s-class
+# decay times — sized so the eager-torch twin finishes its 20 epochs in
+# minutes on CPU (81 receivers -> 2 train steps/epoch; the per-step shapes
+# are exactly the flagship's, so fft precision and the fused-solve VJP are
+# exercised at full scale; VERDICT r4 item 3).
+SCALES = {
+    "toy": dict(
+        fs=8000.0, nfft=2048, batch=8, rec_per_room=8, rir_len_s=0.25,
+        decay_times=(0.08, 0.12, 0.1), mlp_layers=1, mlp_neurons=16,
+    ),
+    "flagship": dict(
+        fs=32000.0, nfft=131072, batch=32, rec_per_room=27, rir_len_s=4.096,
+        decay_times=(0.5, 1.1, 0.8), mlp_layers=3, mlp_neurons=128,
+    ),
+}
+
+
+def apply_scale(name: str) -> None:
+    """Set the module's scale globals (EDR window matches GFDNTrainer)."""
+    s = SCALES[name]
+    g = globals()
+    g["FS"] = s["fs"]
+    g["NFFT"] = s["nfft"]
+    g["BATCH"] = s["batch"]
+    g["REC_PER_ROOM"] = s["rec_per_room"]
+    g["RIR_LEN_S"] = s["rir_len_s"]
+    g["DECAY_TIMES"] = s["decay_times"]
+    g["MLP_LAYERS"] = s["mlp_layers"]
+    g["MLP_NEURONS"] = s["mlp_neurons"]
+    g["EDR_WIN"] = min(
+        2 ** 12, 2 ** int(np.log2(max(s["nfft"] // 4, 8)))
+    )
+    g["EDR_HOP"] = g["EDR_WIN"] // 2
 
 
 def _toy_config(dataset_path: str, train_dir: str, max_epochs: int):
@@ -64,8 +105,8 @@ def _toy_config(dataset_path: str, train_dir: str, max_epochs: int):
         ),
         output_filter_config=OutputFilterConfig(
             use_svfs=False,
-            num_hidden_layers=1,
-            num_neurons_per_layer=16,
+            num_hidden_layers=MLP_LAYERS,
+            num_neurons_per_layer=MLP_NEURONS,
             num_fourier_features=10,
         ),
     )
@@ -89,8 +130,8 @@ def prepare(workdir: str, max_epochs: int = 20) -> Dict:
     pkl = os.path.join(workdir, "srirs.pkl")
     if not os.path.exists(pkl):
         generate_three_room_pickle(
-            pkl, fs=FS, num_rec_per_room=8, rir_len_s=0.25,
-            decay_times=(0.08, 0.12, 0.1), seed=3,
+            pkl, fs=FS, num_rec_per_room=REC_PER_ROOM, rir_len_s=RIR_LEN_S,
+            decay_times=DECAY_TIMES, seed=3,
         )
     cfg = _toy_config(pkl, workdir, max_epochs)
     room = ThreeRoomDataset(pkl, nfft=NFFT)
@@ -311,7 +352,13 @@ def run_torch(setup: Dict) -> Dict:
 
     train_idx, valid_idx = setup["train_idx"], setup["valid_idx"]
     vbs = min(BATCH, max(1, len(valid_idx)))
-    vbatches = [batch_tensors(i) for i in padded_batches(valid_idx, vbs)]
+    # exact unpadded validation batches, weighted by item count — the same
+    # metric fit_indexed now reports (trainer.exact_valid_batches)
+    from diffgfdn_tpu.training.trainer import exact_valid_batches
+
+    vfull, vrem = exact_valid_batches(valid_idx, vbs)
+    vlist = list(vfull) + ([vrem] if len(vrem) else [])
+    vbatches = [(batch_tensors(i), len(i)) for i in vlist]
     rng = np.random.RandomState(cfg.seed)
     traj = []
     for _ in range(setup["max_epochs"]):
@@ -326,16 +373,21 @@ def run_torch(setup: Dict) -> Dict:
             opt.step()
         sched.step()
         with torch.no_grad():
-            v = [
-                float(edc_loss(forward(pos, early), target))
-                for pos, early, target in vbatches
-            ]
-        traj.append(float(np.mean(v)))
+            num = sum(
+                w * float(edc_loss(forward(pos, early), target))
+                for (pos, early, target), w in vbatches
+            )
+        traj.append(num / sum(w for _, w in vbatches))
     return {"valid_edc_db": traj, "final_edc_db": traj[-1]}
 
 
-def compare(workdir: str, max_epochs: int = 20) -> Dict:
-    """Run both trainings; returns trajectories + final EDC errors (dB)."""
+def compare(workdir: str, max_epochs: int = 20, scale: str = "toy") -> Dict:
+    """Run both trainings; returns trajectories + final EDC errors (dB).
+
+    ``scale``: "toy" (round-4 comparable) or "flagship" (full nfft 131072 /
+    fs 32 kHz / batch 32 / 3x128 head — the reference production shape).
+    """
+    apply_scale(scale)
     setup = prepare(workdir, max_epochs=max_epochs)
     ours = run_jax(setup)
     torch_res = run_torch(setup)
