@@ -1346,6 +1346,69 @@ def bench_convergence():
     return res["ours_final_edc_db"], res["torch_final_edc_db"]
 
 
+def bench_native_render(dur_s: float = 2.0, block: int = 256):
+    """Native C++ streaming renderer: per-block latency + x-realtime.
+
+    The host real-time deployment path (native/tdfdn.cpp via ctypes): a
+    2-s flagship tail (N = 12 lines, fs 32 kHz, stereo output mix)
+    processed in 256-sample blocks — the shape of a real audio callback —
+    with sample-exactness vs the JAX time-domain core asserted in the
+    same run. The reference has no real-time path at all
+    (sound_examples.py:80-353 is offline). Returns
+    (x_realtime, median_block_latency_us, max_block_latency_us).
+    """
+    from diffgfdn_tpu.native import native_available, NativeGFDNRenderer
+
+    if not native_available():
+        log("native render bench skipped: g++ unavailable")
+        return None
+    import jax.numpy as jnp
+
+    from diffgfdn_tpu.kernels.tdgfdn import time_domain_gfdn
+    from diffgfdn_tpu.ops.absorption import decay_times_to_gain_per_sample
+
+    rng = np.random.RandomState(0)
+    gains = np.concatenate([
+        np.asarray(decay_times_to_gain_per_sample(
+            T60S[k], np.asarray(DELAYS[4 * k : 4 * k + 4]), FS))
+        for k in range(NUM_GROUPS)
+    ]).astype(np.float32)
+    a = np.linalg.qr(rng.randn(len(DELAYS), len(DELAYS)))[0].astype(np.float32)
+    b = rng.randn(len(DELAYS)).astype(np.float32)
+    c = (rng.randn(2, len(DELAYS)) / np.sqrt(12)).astype(np.float32)
+
+    t_len = int(dur_s * FS)
+    u = np.zeros(t_len, np.float32)
+    u[0] = 1.0
+    ref = np.asarray(time_domain_gfdn(
+        DELAYS, jnp.asarray(gains), jnp.asarray(a), jnp.asarray(b),
+        jnp.asarray(c), jnp.asarray(u), direct_gain=0.25,
+    ))
+
+    renderer = NativeGFDNRenderer(DELAYS, gains, a, b)
+    renderer.process(u[:block], c, direct_gain=0.25)  # warm (page-in)
+    renderer.reset()
+    lat, outs = [], []
+    for i in range(0, t_len, block):
+        blk = u[i : i + block]
+        t0 = time.perf_counter()
+        outs.append(renderer.process(blk, c, direct_gain=0.25))
+        lat.append(time.perf_counter() - t0)
+    out = np.concatenate(outs, axis=-1)
+    err = float(np.max(np.abs(out - ref)))
+    assert err < 1e-4, f"native-vs-jax mismatch: {err}"
+    xrt = dur_s / sum(lat)
+    med_us = float(np.median(lat)) * 1e6
+    max_us = float(np.max(lat)) * 1e6
+    budget_us = block / FS * 1e6
+    log(
+        f"native render: {xrt:.1f}x real time, block latency median "
+        f"{med_us:.0f} us / max {max_us:.0f} us (budget {budget_us:.0f} us "
+        f"@ {block} samples, |err| {err:.1e})"
+    )
+    return xrt, med_us, max_us
+
+
 def bench_convergence_flagship():
     """Convergence parity at the REFERENCE PRODUCTION SHAPE: full nfft
     131072 (65537 rFFT bins), fs 32 kHz, batch 32, the 3x128 MLP head,
@@ -1426,6 +1489,7 @@ def main():
     else:
         log("production-scale benches skipped: not TPU-placed")
 
+    native_res = _try("native render", bench_native_render)
     binaural_xrt = _try("binaural render", bench_binaural_render)
     binaural_dev_xrt = _try(
         "binaural render (device)", bench_binaural_render, backend="jax"
@@ -1582,6 +1646,17 @@ def main():
                 f"{cf_ours_best:.2f}_torchbest{cf_torch_best:.2f}"
             ),
             "vs_baseline": round(cf_torch / cf_ours, 4),
+        })
+    if native_res is not None:
+        nat_xrt, nat_med_us, nat_max_us = native_res
+        extra.append({
+            "metric": "native_render_x_realtime",
+            "value": round(nat_xrt, 1),
+            "unit": (
+                f"x_realtime_2s_stereo_256blk_median{nat_med_us:.0f}us_"
+                f"max{nat_max_us:.0f}us"
+            ),
+            "vs_baseline": round(nat_xrt, 1),  # vs 1x real time
         })
     if binaural_xrt is not None:
         extra.append({
