@@ -453,6 +453,11 @@ def bench_fullband_production(dataset_path: str, tmpdir: str):
     from diffgfdn_tpu.data.room_dataset import ThreeRoomDataset
     from diffgfdn_tpu.training.solver import run_training_var_receiver_pos
 
+    import logging as _logging
+
+    _logging.getLogger("diffgfdn_tpu").setLevel(_logging.INFO)
+    if not _logging.getLogger().handlers:
+        _logging.basicConfig(level=_logging.INFO)
     cfg = DiffGFDNConfig(
         seed=235,
         room_dataset_path=dataset_path,
@@ -473,6 +478,7 @@ def bench_fullband_production(dataset_path: str, tmpdir: str):
     )
     t0 = time.time()
     room = ThreeRoomDataset(dataset_path, nfft=NFFT)
+    log(f"fullband production: dataset parse {time.time() - t0:.1f}s")
     trainer, _ = run_training_var_receiver_pos(cfg, room_data=room)
     wall = time.time() - t0
     epochs = len(trainer.train_loss)
@@ -510,6 +516,11 @@ def bench_subband_production(dataset_path: str, tmpdir: str):
         broadband_edc_errors_device,
     )
 
+    import logging as _logging
+
+    _logging.getLogger("diffgfdn_tpu").setLevel(_logging.INFO)
+    if not _logging.getLogger().handlers:
+        _logging.basicConfig(level=_logging.INFO)
     base = str(Path(tmpdir) / "subband")
     configs = [
         create_config(

@@ -553,12 +553,19 @@ def broadband_edc_errors_device(
     )
     rpr = tc0.reduced_pole_radius
 
+    # upload the dataset ONCE (encoded re/im); per-batch gathers happen on
+    # device by int32 index — the per-batch host re-upload cost ~1.3 GB of
+    # tunnel traffic over the 838-receiver production grid
+    _SHARED = ("z_values", "mesh_2d", "sph_directions")
+
     @jax.jit
-    def errors_fn(all_params, enc_batch, band_fr):
-        batch = decode_batch(enc_batch)
-        h = jnp.zeros(
-            (batch["listener_position"].shape[0], f), jnp.complex64
-        )
+    def errors_fn(all_params, data, idx, band_fr):
+        gathered = {}
+        for k, v in data.items():
+            base = k[: -len("__ri")] if k.endswith("__ri") else k
+            gathered[k] = v if base in _SHARED else v[idx]
+        batch = decode_batch(gathered)
+        h = jnp.zeros((idx.shape[0], f), jnp.complex64)
         for b, mdl in enumerate(models):  # unrolled: heterogeneous params
             out = mdl.apply(all_params[b], batch)
             hb = out[0] if mdl.use_colorless_loss else out
@@ -585,6 +592,8 @@ def broadband_edc_errors_device(
         ),
     )
     band_fr = jnp.asarray(fresp_ri)
+    full = encode_batch(gather_batch(arrays, np.arange(arrays.num_items)))
+    data = {k: jnp.asarray(v) for k, v in full.items()}
     errs = []
     for k in range(0, len(rec_indices), batch_size):
         idx = rec_indices[k : k + batch_size]
@@ -592,8 +601,10 @@ def broadband_edc_errors_device(
         pad = batch_size - n_real
         if pad:
             idx = np.concatenate([idx, idx[:1].repeat(pad)])
-        enc = encode_batch(gather_batch(arrays, idx))
-        e = np.asarray(errors_fn(tuple(params), enc, band_fr))
+        e = np.asarray(
+            errors_fn(tuple(params), data, jnp.asarray(idx, jnp.int32),
+                      band_fr)
+        )
         errs.append(e[:n_real])
     return np.concatenate(errs, axis=0)
 

@@ -485,14 +485,21 @@ class BandParallelTrainer:
             abs_sum = jnp.sum(jnp.abs(edr_db), axis=(-2, -1))
             return edc_db, edr_db, abs_sum
 
+        # ONE host->device transfer of the target spectra, shared by ALL
+        # bands (uploading per-band chunks re-shipped the full ~440 MB
+        # spectra once per band at production scale — 8x the necessary
+        # tunnel traffic); per-band chunks are sliced on device
         tgt = arrays.target_rir_response
+        enc_dev = jnp.asarray(
+            np.stack([tgt.real, tgt.imag], -1).astype(np.float32)
+        )
         bands = []
         for b in range(self.num_bands):
             edcs, edrs, sums = [], [], []
             for k in range(0, tgt.shape[0], chunk):
-                part = tgt[k : k + chunk]
-                enc = np.stack([part.real, part.imag], -1).astype(np.float32)
-                e, r, su = features(enc, self.band_responses[b])
+                e, r, su = features(
+                    enc_dev[k : k + chunk], self.band_responses[b]
+                )
                 edcs.append(e)
                 edrs.append(r)
                 sums.append(su)

@@ -98,3 +98,70 @@ def test_colouration_filterbank_restores_band_decay(tmp_path):
     # colouration metric is finite for all three reconstructions
     assert np.isfinite(mod.colouration_db(h_bands.sum(0), freqs,
                                           centres[0], fs / 2 * 0.9))
+
+
+def test_check_edr_loss_dft_shortcut_is_invalid(tmp_path):
+    """check_edr_loss.ipynb's conclusion: the convolution-rule 'STFT from
+    DFT bins' shortcut does NOT match the true STFT (sampled spectra
+    multiply as circular convolution), while irfft -> STFT is exact — so
+    the EDR loss must go through the time domain, as losses/gfdn.py does."""
+    mod = _load("check_edr_loss")
+    res = mod.run(str(tmp_path / "edr"))
+    # irfft path is numerically exact; the shortcut is off by tens of dB
+    assert res["err_irfft_db"] < 0.05
+    assert res["err_shortcut_db"] > 20.0 * res["err_irfft_db"]
+    assert res["err_shortcut_db"] > 5.0
+    assert (tmp_path / "edr" / "edr_comparison.png").exists()
+
+
+def test_colorless_training_flattens_every_group(tmp_path):
+    """investigate_colorless_output.ipynb's conclusion: colorless
+    pre-training raises each group's spectral flatness and pulls |H|
+    toward 1 (spectral MSE drops)."""
+    mod = _load("colorless_output_study")
+    results = mod.run(str(tmp_path / "colorless"), epochs=5)
+    assert len(results) == 3
+    for r in results:
+        assert r["flat1"] > r["flat0"]
+        assert r["mse1"] < 0.5 * r["mse0"]
+    assert (tmp_path / "colorless" / "colorless_responses.png").exists()
+
+
+def test_cs_amplitudes_cluster_by_room_and_vary_smoothly(tmp_path):
+    """analyse_common_slope_amplitudes.ipynb's conclusions: (1) per-
+    receiver CS amplitude vectors cluster by ROOM (a 3-component GMM
+    recovers the room partition), (2) the amplitude field is spatially
+    smooth (2-D spatial spectrum is low-pass)."""
+    mod = _load("cs_amplitude_study")
+    res = mod.run(str(tmp_path / "cs"))
+    assert res["accuracy"] > 0.85
+    for ratio in res["lowpass_ratios"]:
+        assert ratio > 0.9
+    assert (tmp_path / "cs" / "amplitude_map_slope1.png").exists()
+
+
+def test_low_rank_trained_free_render(tmp_path):
+    """low_rank_amplitude_matrix_decomposition.ipynb's conclusion: the CS
+    amplitude matrix is near rank-1 (source x receiver separable), and its
+    factors drive a GFDN render with NO TRAINING whose EDC tracks the true
+    common-slopes EDC."""
+    mod = _load("low_rank_study")
+    res = mod.run(str(tmp_path / "lr"))
+    assert np.all(res["explained"] > 0.95)
+    assert res["mean_edc_err_db"] < 4.0
+    assert (tmp_path / "lr" / "low_rank_edc_error_map.png").exists()
+
+
+def test_room_geometry_spatial_machinery(tmp_path):
+    """visualise_room_geometry.ipynb's checks: one-hot encodings snap
+    train/valid receivers to unique mesh cells, Fourier features vary
+    across the grid, and CNN square patches partition the receiver grid."""
+    mod = _load("room_geometry_study")
+    res = mod.run(str(tmp_path / "geom"))
+    for split in ("train", "valid"):
+        assert res["one_hot"][split]["unique"], split
+    assert int((res["feat_std"] > 0.05).sum()) >= len(res["feat_std"]) // 2
+    assert res["patches"]["disjoint"]
+    assert res["patches"]["covered"] > 0.9
+    assert (tmp_path / "geom" / "floor_plan.png").exists()
+    assert (tmp_path / "geom" / "rooms_3d.png").exists()

@@ -374,3 +374,46 @@ def test_amplitude_injection_reproduces_head_outputs(tmp_path, room):
     r_head = infer.rirs_at(idx, batch_size=4)
     r_inj = infer.rirs_with_amplitudes(idx, own_gains, batch_size=4)
     np.testing.assert_allclose(r_inj, r_head, rtol=1e-4, atol=1e-6)
+
+
+def test_inspect_checkpoint_cli(tmp_path, room):
+    """The consolidated checkpoint-inspection CLI (the reference's
+    investigate_grid_output_* / investigate_test_set_output /
+    compare_treble_full_band_results notebook family): EDC/EDR error maps,
+    single-position deep dive, coupling diagnostic, CS baseline."""
+    from diffgfdn_tpu.cli.inspect_checkpoint import (
+        compare_runs,
+        diagonal_measure,
+        inspect,
+    )
+
+    cfg = _config(tmp_path)
+    run_training_var_receiver_pos(cfg, room_data=room)
+    out = tmp_path / "figs"
+    metrics = inspect(
+        cfg, room_data=room, max_receivers=8, out_dir=str(out),
+        cs_baseline=True,
+    )
+    assert np.isfinite(metrics["mean_edc_err_db"])
+    assert np.isfinite(metrics["mean_edr_err_db"])
+    assert 0.0 < metrics["coupling_diagonal_measure"] <= 1.0
+    # the shaped-noise CS baseline with TRUE amplitudes is near-exact on
+    # this synthetic dataset (its RIRs ARE shaped noise)
+    assert metrics["cs_edc_err_db"] < 3.0
+    for name in (
+        "edc_error_map.png", "edr_error_map.png", "coupling_matrix.png",
+        "loss_curves.png",
+    ):
+        assert (out / name).exists(), name
+    assert list(out.glob("edc_overlay_*.png"))
+    assert list(out.glob("echo_density_*.png"))
+
+    # identity matrix is perfectly diagonal; dense ones matrix is not
+    assert diagonal_measure(np.eye(4)) == 1.0
+    assert abs(diagonal_measure(np.ones((4, 4))) - 0.25) < 1e-12
+
+    finals = compare_runs(
+        [cfg.trainer_config.train_dir], str(tmp_path / "cmp.png")
+    )
+    assert len(finals) == 1 and np.isfinite(list(finals.values())[0])
+    assert (tmp_path / "cmp.png").exists()
