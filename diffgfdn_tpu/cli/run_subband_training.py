@@ -174,11 +174,18 @@ def training_band_parallel(configs, room_data=None):
         trainer.precompute_band_target_features(arrays)
 
         def on_epoch(epoch, ep_params, train_losses, valid_losses, trained):
+            # ONE pipelined fetch of the whole band-stacked tree, then
+            # host-side slicing per band: per-band-per-leaf fetches cost
+            # bands x leaves serial tunnel round trips (~5 s/epoch at
+            # production scale); this costs one overlapped batch
+            from ..training.checkpoints import _to_numpy
+
+            host_params = _to_numpy(ep_params)
             for b, cfg in enumerate(group):
                 if trained[b] == 0.0 and epoch > 0:
                     continue  # band frozen this epoch; its last ckpt stands
                 band_params = jax.tree_util.tree_map(
-                    lambda x: np.asarray(x[b]), ep_params
+                    lambda x: x[b], host_params
                 )
                 save_checkpoint(cfg.trainer_config.train_dir, epoch, band_params)
 

@@ -50,14 +50,27 @@ def arrays_from_room_dataset(
     if src.shape[0] == 1:
         src = np.broadcast_to(src, (room_data.num_rec, 3)).copy()
     amps = room_data.amplitudes
+    # copy=False: the dataset's spectra are already complex64 (float32
+    # ffts at parse time), so these casts alias instead of cloning three
+    # ~440 MB planes at production scale
     return BatchArrays(
         z_values=z,
         source_position=src,
-        listener_position=room_data.receiver_position.astype(np.float32),
-        norm_listener_position=room_data.norm_receiver_position.astype(np.float32),
-        target_early_response=room_data.early_rir_mag_response.astype(np.complex64),
-        target_late_response=room_data.late_rir_mag_response.astype(np.complex64),
-        target_rir_response=room_data.rir_mag_response.astype(np.complex64),
+        listener_position=room_data.receiver_position.astype(
+            np.float32, copy=False
+        ),
+        norm_listener_position=room_data.norm_receiver_position.astype(
+            np.float32, copy=False
+        ),
+        target_early_response=room_data.early_rir_mag_response.astype(
+            np.complex64, copy=False
+        ),
+        target_late_response=room_data.late_rir_mag_response.astype(
+            np.complex64, copy=False
+        ),
+        target_rir_response=room_data.rir_mag_response.astype(
+            np.complex64, copy=False
+        ),
         target_common_slope_amps=(
             None if amps is None else np.asarray(amps, np.float32)
         ),

@@ -19,6 +19,16 @@ logger = logging.getLogger("diffgfdn_tpu")
 
 
 def _to_numpy(tree):
+    """Fetch a device pytree to host numpy with PIPELINED transfers.
+
+    Issuing every leaf's device->host copy asynchronously before the
+    first blocking read turns N serial tunnel round trips (~45 ms each —
+    ~2 s/epoch for params + Adam state at checkpoint time) into one
+    overlapped batch.
+    """
+    for x in jax.tree_util.tree_leaves(tree):
+        if hasattr(x, "copy_to_host_async"):
+            x.copy_to_host_async()
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 

@@ -38,7 +38,7 @@ from ..ops.stft import erb_filterbank
 from ..ops.unitary import orthogonal_from_skew
 from ..models.gfdn import DiffGFDN
 from ..utils.cio import decode_batch, encode_batch
-from .checkpoints import save_checkpoint, save_opt_state
+from .checkpoints import _to_numpy, save_checkpoint, save_opt_state
 from .optim import make_optimizer
 from .scan import scan_epoch
 
@@ -516,30 +516,43 @@ class GFDNTrainer:
                 params, opt_state, totals, auxs = train_epoch(
                     params, opt_state, data, idx_mat, ek
                 )
-                self.train_loss.append(float(jnp.mean(totals)))
+                # dispatch train + valid reductions, then fetch every
+                # epoch scalar in ONE pipelined batch (each blocking
+                # float() costs a full tunnel round trip, ~45 ms — with
+                # several aux keys that was ~0.7 s/epoch of pure latency)
+                dev = {
+                    "t": jnp.mean(totals),
+                    "ta": {k: jnp.mean(v) for k, v in auxs.items()},
+                }
+                if vidx_mat is not None:
+                    key, vk = jax.random.split(key)
+                    vtotals, vauxs = valid_epoch(params, data, vidx_mat, vk)
+                    dev["v"] = jnp.sum(vtotals)
+                    dev["va"] = {k_: jnp.sum(v) for k_, v in vauxs.items()}
+                if len(vrem):
+                    key, rk = jax.random.split(key)
+                    rtot, raux = valid_step(
+                        params, data, jnp.asarray(vrem, jnp.int32), rk
+                    )
+                    dev["r"] = rtot
+                    dev["ra"] = raux
+                host = _to_numpy(dev)
+                self.train_loss.append(float(host["t"]))
                 self.individual_train_loss.append(
-                    {k: float(jnp.mean(v)) for k, v in auxs.items()}
+                    {k: float(v) for k, v in host["ta"].items()}
                 )
                 if vidx_mat is not None or len(vrem):
                     # item-count-weighted mean over full batches + the
                     # unpadded remainder = exact unpadded per-item mean
                     vtot, vaux_sum, vweight = 0.0, {}, 0
                     if vidx_mat is not None:
-                        key, vk = jax.random.split(key)
-                        vtotals, vauxs = valid_epoch(
-                            params, data, vidx_mat, vk
-                        )
-                        vtot += float(jnp.sum(vtotals)) * vbs
-                        for k_, v in vauxs.items():
-                            vaux_sum[k_] = float(jnp.sum(v)) * vbs
+                        vtot += float(host["v"]) * vbs
+                        for k_, v in host["va"].items():
+                            vaux_sum[k_] = float(v) * vbs
                         vweight += vbs * vidx_mat.shape[0]
                     if len(vrem):
-                        key, rk = jax.random.split(key)
-                        rtot, raux = valid_step(
-                            params, data, jnp.asarray(vrem, jnp.int32), rk
-                        )
-                        vtot += float(rtot) * len(vrem)
-                        for k_, v in raux.items():
+                        vtot += float(host["r"]) * len(vrem)
+                        for k_, v in host["ra"].items():
                             vaux_sum[k_] = (
                                 vaux_sum.get(k_, 0.0) + float(v) * len(vrem)
                             )
