@@ -33,6 +33,10 @@ class BatchArrays:
     # per-item precomputed loss features (e.g. target EDC/EDR in dB),
     # gathered alongside the raw targets
     precomputed: Optional[Dict[str, np.ndarray]] = None
+    # faded early RIR segment (R, mixing_time samples) — when present,
+    # trainers upload these ~2 MB of time samples and rfft ON DEVICE
+    # instead of shipping the (R, F) early spectrum over the tunnel
+    target_early_time: Optional[np.ndarray] = None
 
     @property
     def num_items(self) -> int:
@@ -71,6 +75,7 @@ def arrays_from_room_dataset(
         target_rir_response=room_data.rir_mag_response.astype(
             np.complex64, copy=False
         ),
+        target_early_time=getattr(room_data, "early_rir_time", None),
         target_common_slope_amps=(
             None if amps is None else np.asarray(amps, np.float32)
         ),

@@ -162,6 +162,10 @@ class RoomDataset:
         early, late = early_late_split(
             rirs32, self.mixing_time_ms, self.sample_rate
         )
+        # the faded early segment is tiny (mixing_time samples); keeping
+        # it lets trainers upload ~2 MB of time samples and rfft on
+        # device instead of shipping the ~440 MB (R, F) early spectrum
+        self.early_rir_time = early
         self.early_rir_mag_response = rfft(early, n=self.num_freq_bins, axis=-1)
         self.late_rir_mag_response = rfft(late, n=self.num_freq_bins, axis=-1)
         self.mesh_2d = self.get_2d_meshgrid()
@@ -209,6 +213,7 @@ class RoomDataset:
         early, late = early_late_split(
             rirs32, self.mixing_time_ms, self.sample_rate
         )
+        self.early_rir_time = early
         self.early_rir_mag_response = rfft(early, n=self.num_freq_bins, axis=-1)
         self.late_rir_mag_response = rfft(late, n=self.num_freq_bins, axis=-1)
 

@@ -43,7 +43,7 @@ from ..ops.basic import ms_to_samps
 from ..ops.stft import erb_filterbank
 from ..ops.unitary import orthogonal_from_skew
 from ..training.scan import scan_epoch
-from ..utils.cio import decode_batch, encode_batch
+from ..utils.cio import decode_batch, encode_batch, shrink_init_batch
 from .mesh import band_sharding, batch_sharding, make_mesh, replicated
 
 
@@ -307,7 +307,9 @@ class BandParallelTrainer:
             keys = jnp.stack([jax.random.PRNGKey(int(s)) for s in seeds])
         else:
             keys = jax.random.split(jax.random.PRNGKey(seed), self.num_bands)
-        enc = encode_batch(example_batch)
+        # init traces on a frequency-truncated batch: parameters are
+        # F-free (identical draws), the one-shot compile is ~20x cheaper
+        enc = encode_batch(shrink_init_batch(example_batch))
 
         @jax.jit
         def init_all(ks, b):
@@ -417,6 +419,7 @@ class BandParallelTrainer:
         them (~0.9 GB of HBM + transfer at flagship scale).
         """
         from ..data.batching import gather_batch
+        from ..utils.cio import device_early_response_ri
 
         full = gather_batch(arrays, np.arange(arrays.num_items))
         if self._band_feats is not None:
@@ -424,9 +427,20 @@ class BandParallelTrainer:
                 k: v for k, v in full.items()
                 if k not in ("target_rir_response", "target_late_response")
             }
+        early_t = getattr(arrays, "target_early_time", None)
+        if early_t is not None:
+            # device-side rfft of the tiny early time segment replaces the
+            # full (R, F) early-spectrum upload (see GFDNTrainer)
+            full.pop("target_early_response", None)
         enc = encode_batch(full)
         repl = replicated(self.mesh)
-        return {k: jax.device_put(np.asarray(v), repl) for k, v in enc.items()}
+        out = {k: jax.device_put(np.asarray(v), repl) for k, v in enc.items()}
+        if early_t is not None:
+            nfft = 2 * (arrays.z_values.shape[0] - 1)
+            out["target_early_response__ri"] = device_early_response_ri(
+                early_t, nfft, sharding=repl
+            )
+        return out
 
     def _gather(self, data: Dict, idx) -> Dict:
         dsh = batch_sharding(self.mesh)
@@ -486,13 +500,14 @@ class BandParallelTrainer:
             return edc_db, edr_db, abs_sum
 
         # ONE host->device transfer of the target spectra, shared by ALL
-        # bands (uploading per-band chunks re-shipped the full ~440 MB
-        # spectra once per band at production scale — 8x the necessary
-        # tunnel traffic); per-band chunks are sliced on device
+        # bands AND all architecture groups (uploading per-band chunks
+        # re-shipped the full ~440 MB spectra once per band at production
+        # scale — 8x the necessary tunnel traffic; the cross-group cache
+        # saves another 2x); per-band chunks are sliced on device
+        from ..utils.cio import device_target_spectra_ri
+
         tgt = arrays.target_rir_response
-        enc_dev = jnp.asarray(
-            np.stack([tgt.real, tgt.imag], -1).astype(np.float32)
-        )
+        enc_dev = device_target_spectra_ri(arrays)
         bands = []
         for b in range(self.num_bands):
             edcs, edrs, sums = [], [], []

@@ -329,14 +329,26 @@ class GFDNTrainer:
         (precompute_target_features).
         """
         from ..data.batching import gather_batch
+        from ..utils.cio import device_early_response_ri
 
         full = gather_batch(arrays, np.arange(arrays.num_items))
+        early_t = getattr(arrays, "target_early_time", None)
+        if early_t is not None:
+            # rfft the tiny early time segment on device instead of
+            # uploading the full (R, F) early spectrum
+            full.pop("target_early_response", None)
         enc = encode_batch(full)
         if arrays.precomputed and "target_edc_db" in arrays.precomputed:
             for key in ("target_rir_response", "target_late_response"):
                 enc.pop(key, None)
                 enc.pop(key + "__ri", None)
-        return {k: jnp.asarray(v) for k, v in enc.items()}
+        out = {k: jnp.asarray(v) for k, v in enc.items()}
+        if early_t is not None:
+            nfft = 2 * (arrays.z_values.shape[0] - 1)
+            out["target_early_response__ri"] = device_early_response_ri(
+                early_t, nfft
+            )
+        return out
 
     def _gather_device(self, data: Dict, idx) -> Dict:
         out = {}
@@ -794,15 +806,17 @@ class GFDNTrainer:
             abs_sum = jnp.sum(jnp.abs(edr_db), axis=(-2, -1))
             return edc_db, edr_db, abs_sum
 
-        # ONE host->device transfer of the spectra; chunks are sliced and
-        # reduced ON DEVICE and the features stay device-resident. The
-        # previous numpy round trip cost ~570 MB device->host + the same
-        # back up at the 838-receiver/131072-bin production scale — ~40%
-        # of the measured end-to-end training wall-clock over the tunnel.
+        # ONE host->device transfer of the spectra (cached on the arrays
+        # object — shared with any band-parallel trainer using the same
+        # dataset); chunks are sliced and reduced ON DEVICE and the
+        # features stay device-resident. The previous numpy round trip
+        # cost ~570 MB device->host + the same back up at the
+        # 838-receiver/131072-bin production scale — ~40% of the measured
+        # end-to-end training wall-clock over the tunnel.
+        from ..utils.cio import device_target_spectra_ri
+
         tgt = arrays.target_rir_response
-        enc_dev = jnp.asarray(
-            np.stack([tgt.real, tgt.imag], axis=-1).astype(np.float32)
-        )
+        enc_dev = device_target_spectra_ri(arrays)
         edcs, edrs, sums = [], [], []
         for k in range(0, tgt.shape[0], chunk):
             e, r, s = features(enc_dev[k : k + chunk])

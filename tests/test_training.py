@@ -428,3 +428,74 @@ def test_training_convergence_parity_with_torch_reference(tmp_path):
     # final and best validation EDC within tolerance (or better)
     assert res["ours_final_edc_db"] <= res["torch_final_edc_db"] + 0.75
     assert float(ours.min()) <= float(ref.min()) + 0.5
+
+
+def test_init_truncated_batch_params_bit_identical(tmp_path, room):
+    """init_with_batch traces on a frequency-truncated batch; parameter
+    shapes AND initializer draws are F-free, so the params must be
+    bit-identical to a full-length init (and the early-response device
+    path must match the host spectrum upload)."""
+    import jax
+
+    from diffgfdn_tpu.data.batching import (
+        arrays_from_room_dataset,
+        gather_batch,
+    )
+    from diffgfdn_tpu.training.build import build_gfdn_model
+    from diffgfdn_tpu.utils.cio import init_with_batch, shrink_init_batch
+
+    cfg = small_config(tmp_path)
+    for use_svfs in (False, True):
+        cfg.output_filter_config.use_svfs = use_svfs
+        model = build_gfdn_model(
+            cfg,
+            common_decay_times=room.common_decay_times,
+            band_centre_hz=room.band_centre_hz,
+        )
+        arrays = arrays_from_room_dataset(room)
+        example = gather_batch(arrays, np.arange(4))
+        p_full = init_with_batch(model, jax.random.PRNGKey(7), example)
+        small = shrink_init_batch(example, nbins=65)
+        assert small["z_values"].shape[0] == 65
+        assert small["target_early_response"].shape[-1] == 65
+        p_small = init_with_batch(model, jax.random.PRNGKey(7), small)
+        flat_a = jax.tree_util.tree_leaves_with_path(p_full)
+        flat_b = dict(jax.tree_util.tree_leaves_with_path(p_small))
+        assert len(flat_a) == len(flat_b)
+        for path, leaf in flat_a:
+            np.testing.assert_array_equal(
+                np.asarray(leaf), np.asarray(flat_b[path]), err_msg=str(path)
+            )
+
+
+def test_upload_arrays_device_early_response_matches_host(tmp_path, room):
+    """upload_arrays' on-device early-response rfft matches the host
+    scipy spectrum to float32 fft tolerance."""
+    import jax
+
+    from diffgfdn_tpu.data.batching import arrays_from_room_dataset
+    from diffgfdn_tpu.training.build import build_gfdn_model
+    from diffgfdn_tpu.training.trainer import GFDNTrainer
+
+    cfg = small_config(tmp_path)
+    model = build_gfdn_model(
+        cfg,
+        common_decay_times=room.common_decay_times,
+        band_centre_hz=room.band_centre_hz,
+    )
+    arrays = arrays_from_room_dataset(room)
+    assert arrays.target_early_time is not None
+    trainer = GFDNTrainer(
+        model,
+        cfg.trainer_config,
+        steps_per_epoch=2,
+        common_decay_times=room.common_decay_times,
+        sample_rate=cfg.sample_rate,
+    )
+    data = trainer.upload_arrays(arrays)
+    got = np.asarray(data["target_early_response__ri"])
+    want = arrays.target_early_response
+    scale = np.max(np.abs(want)) + 1e-12
+    np.testing.assert_allclose(
+        got[..., 0] + 1j * got[..., 1], want, atol=2e-5 * scale
+    )
