@@ -260,6 +260,9 @@ def run_comparison(
 
 
 def main(argv: Optional[List[str]] = None):
+    from ..utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # replay unchanged XLA programs across runs
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--dataset", required=True, help="spatial SRIR pickle")
     ap.add_argument("--out", required=True, help="output directory")

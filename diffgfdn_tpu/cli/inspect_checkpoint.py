@@ -302,6 +302,9 @@ def compare_runs(train_dirs, out_path: str) -> dict:
 
 
 def main(argv=None):
+    from ..utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # replay unchanged XLA programs across runs
     parser = argparse.ArgumentParser(
         description="Inspect a trained DiffGFDN checkpoint"
     )

@@ -14,6 +14,9 @@ import numpy as np
 
 
 def main(argv=None):
+    from ..utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # replay unchanged XLA programs across runs
     parser = argparse.ArgumentParser(description="Train a TPU-native DiffGFDN")
     parser.add_argument("-c", "--config", required=True, help="YAML config path")
     parser.add_argument(

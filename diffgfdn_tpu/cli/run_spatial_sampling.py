@@ -65,6 +65,9 @@ def run_inference_on_all_bands(
 
 
 def main(argv=None):
+    from ..utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # replay unchanged XLA programs across runs
     parser = argparse.ArgumentParser(
         description="Common-slopes spatial sampling training / inference"
     )

@@ -220,6 +220,9 @@ def inferencing(configs, room_data=None, rec_indices=None):
 
 
 def main(argv=None):
+    from ..utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # replay unchanged XLA programs across runs
     parser = argparse.ArgumentParser(
         description="Per-octave-band DiffGFDN training + resynthesis"
     )
