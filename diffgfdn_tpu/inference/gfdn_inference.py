@@ -592,8 +592,22 @@ def broadband_edc_errors_device(
         ),
     )
     band_fr = jnp.asarray(fresp_ri)
-    full = encode_batch(gather_batch(arrays, np.arange(arrays.num_items)))
-    data = {k: jnp.asarray(v) for k, v in full.items()}
+    full = gather_batch(arrays, np.arange(arrays.num_items))
+    # the program reads target_rir_response (EDC reference) and the
+    # model's early-response injection; the late plane is never read, and
+    # the early spectrum is cheaper rfft'd on device from its ~2 MB time
+    # segment than stacked + uploaded as a ~440 MB re/im plane
+    full.pop("target_late_response", None)
+    early_t = getattr(arrays, "target_early_time", None)
+    if early_t is not None:
+        full.pop("target_early_response", None)
+    data = {k: jnp.asarray(v) for k, v in encode_batch(full).items()}
+    if early_t is not None:
+        from ..utils.cio import device_early_response_ri
+
+        data["target_early_response__ri"] = device_early_response_ri(
+            early_t, nfft
+        )
     errs = []
     for k in range(0, len(rec_indices), batch_size):
         idx = rec_indices[k : k + batch_size]

@@ -418,24 +418,40 @@ class BandParallelTrainer:
         spectra are never read by the (fast-path) loss — skip uploading
         them (~0.9 GB of HBM + transfer at flagship scale).
         """
-        from ..data.batching import gather_batch
         from ..utils.cio import device_early_response_ri
 
-        full = gather_batch(arrays, np.arange(arrays.num_items))
-        if self._band_feats is not None:
-            full = {
-                k: v for k, v in full.items()
-                if k not in ("target_rir_response", "target_late_response")
-            }
+        # whole planes, no gather_batch fancy-index copies (see
+        # GFDNTrainer.upload_arrays)
+        full = {
+            "z_values": arrays.z_values,
+            "source_position": arrays.source_position,
+            "listener_position": arrays.listener_position,
+            "norm_listener_position": arrays.norm_listener_position,
+        }
+        if self._band_feats is None:
+            full["target_rir_response"] = np.ascontiguousarray(
+                arrays.target_rir_response, np.complex64
+            )
+            full["target_late_response"] = np.ascontiguousarray(
+                arrays.target_late_response, np.complex64
+            )
         early_t = getattr(arrays, "target_early_time", None)
-        if early_t is not None:
-            # device-side rfft of the tiny early time segment replaces the
-            # full (R, F) early-spectrum upload (see GFDNTrainer)
-            full.pop("target_early_response", None)
+        if early_t is None:
+            full["target_early_response"] = np.ascontiguousarray(
+                arrays.target_early_response, np.complex64
+            )
+        if arrays.target_common_slope_amps is not None:
+            full["target_common_slope_amps"] = arrays.target_common_slope_amps
+        if arrays.mesh_2d is not None:
+            full["mesh_2d"] = arrays.mesh_2d
+        if arrays.precomputed:
+            full.update(arrays.precomputed)
         enc = encode_batch(full)
         repl = replicated(self.mesh)
         out = {k: jax.device_put(np.asarray(v), repl) for k, v in enc.items()}
         if early_t is not None:
+            # device-side rfft of the tiny early time segment replaces the
+            # full (R, F) early-spectrum upload (see GFDNTrainer)
             nfft = 2 * (arrays.z_values.shape[0] - 1)
             out["target_early_response__ri"] = device_early_response_ri(
                 early_t, nfft, sharding=repl

@@ -6,6 +6,7 @@ colorless pre-training per group, model build, trainer run, result export.
 
 import logging
 import pickle
+import time
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
 
@@ -240,16 +241,26 @@ def run_training_var_receiver_pos(
         subband_filter_resp=_subband_resp(config),
         sample_rate=config.sample_rate,
     )
+    # phase timings at info level: production observability for the
+    # end-to-end wallclock decomposition (parse/features/fit/export)
+    _t = time.time()
     trainer.precompute_target_features(arrays)
+    logger.info("target features: %.1fs", time.time() - _t)
+    _t = time.time()
     example = next(iter(train_batches(0)))
     params = init_with_batch(model, jax.random.PRNGKey(config.seed), example)
+    logger.info("init: %.1fs", time.time() - _t)
     # device-resident data path: upload once, gather batches on device
+    _t = time.time()
     params = trainer.fit_indexed(
         params, arrays, train_idx, valid_idx, seed=config.seed, resume=resume
     )
+    logger.info("fit_indexed total: %.1fs", time.time() - _t)
 
+    _t = time.time()
     save_diff_gfdn_parameters(model, params, tc.train_dir)
     save_loss(trainer.train_loss, trainer.valid_loss, tc.train_dir)
+    logger.info("export: %.1fs", time.time() - _t)
     if export_irs:
         trainer.save_irs(params, train_batches(0), tc.ir_dir)
         trainer.save_irs(params, valid_batches(), tc.ir_dir,

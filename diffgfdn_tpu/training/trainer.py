@@ -328,22 +328,42 @@ class GFDNTrainer:
         uploaded — the features themselves are already device-resident
         (precompute_target_features).
         """
-        from ..data.batching import gather_batch
         from ..utils.cio import device_early_response_ri
 
-        full = gather_batch(arrays, np.arange(arrays.num_items))
+        # whole planes go up directly (same key set as gather_batch, but
+        # WITHOUT its fancy-index pass, which copies every ~440 MB target
+        # plane on the single host core before the transfer)
+        full = {
+            "z_values": arrays.z_values,
+            "source_position": arrays.source_position,
+            "listener_position": arrays.listener_position,
+            "norm_listener_position": arrays.norm_listener_position,
+        }
+        fast = bool(arrays.precomputed) and "target_edc_db" in arrays.precomputed
+        if not fast:
+            # raw spectra are read only by the non-precomputed loss path
+            full["target_rir_response"] = np.ascontiguousarray(
+                arrays.target_rir_response, np.complex64
+            )
+            full["target_late_response"] = np.ascontiguousarray(
+                arrays.target_late_response, np.complex64
+            )
         early_t = getattr(arrays, "target_early_time", None)
+        if early_t is None:
+            full["target_early_response"] = np.ascontiguousarray(
+                arrays.target_early_response, np.complex64
+            )
+        if arrays.target_common_slope_amps is not None:
+            full["target_common_slope_amps"] = arrays.target_common_slope_amps
+        if arrays.mesh_2d is not None:
+            full["mesh_2d"] = arrays.mesh_2d
+        if arrays.precomputed:
+            full.update(arrays.precomputed)
+        enc = encode_batch(full)
+        out = {k: jnp.asarray(v) for k, v in enc.items()}
         if early_t is not None:
             # rfft the tiny early time segment on device instead of
             # uploading the full (R, F) early spectrum
-            full.pop("target_early_response", None)
-        enc = encode_batch(full)
-        if arrays.precomputed and "target_edc_db" in arrays.precomputed:
-            for key in ("target_rir_response", "target_late_response"):
-                enc.pop(key, None)
-                enc.pop(key + "__ri", None)
-        out = {k: jnp.asarray(v) for k, v in enc.items()}
-        if early_t is not None:
             nfft = 2 * (arrays.z_values.shape[0] - 1)
             out["target_early_response__ri"] = device_early_response_ri(
                 early_t, nfft
@@ -467,14 +487,18 @@ class GFDNTrainer:
             if resume and resumed_opt_state is None
             else 0
         )
+        _t0 = time.time()
         self.optimizer = make_optimizer(
             self.cfg, params, self.steps_per_epoch, count_offset=count_offset
         )
         opt_state = self.optimizer.init(params)
+        logger.info("optimizer init: %.1fs", time.time() - _t0)
         if resumed_opt_state is not None:
             opt_state = jax.tree_util.tree_map(jnp.asarray, resumed_opt_state)
         key = jax.random.PRNGKey(seed)
+        _t0 = time.time()
         data = self.upload_arrays(arrays)
+        logger.info("upload_arrays: %.1fs", time.time() - _t0)
         if len(train_idx) == 0:
             raise ValueError(
                 "no training items: train_idx is empty (check "
