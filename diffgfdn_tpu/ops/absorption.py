@@ -3,7 +3,8 @@
 Reference semantics: src/diff_gfdn/absorption_filters.py:12-155.
 
 * ``decay_times_to_gain_per_sample`` is differentiable (used when common
-  decay times are learned), so it is jnp;
+  decay times are learned): jnp when handed jax arrays/tracers, numpy for
+  host-side init/design callers (no device traffic at build time);
 * the GEQ and Prony filter fits are host-side init-time numpy.
 """
 
@@ -27,10 +28,22 @@ def decay_times_to_gain_per_sample(common_decay_times, delay_length_samp, fs: fl
 
     The per-pass gain that makes energy drop 60 dB in T60 seconds after
     fs*T60/delay passes through a delay line of ``delay`` samples.
+
+    Backend-polymorphic: jnp only when an input is already a jax array or
+    tracer (the learnable-T60 path inside the model), numpy otherwise.
+    Host-side init/design callers (build, bench, tests) pass numpy/python
+    values — routing those through jnp dispatched three tiny eager ops to
+    the device per model build, which on the tunnel-backed TPU backend
+    cost ~10 s of fetch sync EACH (measured: 29 s of a 32 s production
+    ``build_gfdn_model``).
     """
-    t = jnp.asarray(common_decay_times)
-    d = jnp.asarray(delay_length_samp, dtype=jnp.float32)
-    return jnp.power(10.0, -3.0 * d / (fs * t))
+    traced = isinstance(common_decay_times, jnp.ndarray) or isinstance(
+        delay_length_samp, jnp.ndarray
+    )
+    xp = jnp if traced else np
+    t = xp.asarray(common_decay_times, dtype=xp.float32)
+    d = xp.asarray(delay_length_samp, dtype=xp.float32)
+    return xp.power(xp.float32(10.0), -3.0 * d / (fs * t))
 
 
 def absorption_to_gain_per_sample(
