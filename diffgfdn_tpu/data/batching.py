@@ -9,34 +9,94 @@ a numpy-side iterator producing dicts of equal-shape arrays:
 * z points live on (or slightly outside) the unit circle.
 """
 
-from dataclasses import dataclass
-from typing import Dict, Iterator, Optional, Tuple
+from typing import Callable, Dict, Iterator, Optional, Tuple, Union
 
 import numpy as np
 
 from .room_dataset import RoomDataset
 
+# a spectra field may be passed as a zero-arg thunk that is resolved (and
+# cached) on first attribute access — arrays_from_room_dataset uses this so
+# the production fast path (precomputed features + device-side early rfft)
+# never pays the host-side full-grid rffts it does not read
+_ArrayOrThunk = Union[np.ndarray, Callable[[], np.ndarray], None]
 
-@dataclass
+
 class BatchArrays:
-    """Full-dataset feature arrays from which batches are gathered."""
+    """Full-dataset feature arrays from which batches are gathered.
 
-    z_values: np.ndarray                  # (F,) complex64
-    source_position: np.ndarray           # (R, 3) or (1, 3)
-    listener_position: np.ndarray         # (R, 3)
-    norm_listener_position: np.ndarray    # (R, 3)
-    target_early_response: np.ndarray     # (R, F) complex64
-    target_late_response: np.ndarray      # (R, F) complex64
-    target_rir_response: np.ndarray       # (R, F) complex64
-    target_common_slope_amps: Optional[np.ndarray] = None  # (R, ..., slopes)
-    mesh_2d: Optional[np.ndarray] = None  # (L, 2)
-    # per-item precomputed loss features (e.g. target EDC/EDR in dB),
-    # gathered alongside the raw targets
-    precomputed: Optional[Dict[str, np.ndarray]] = None
-    # faded early RIR segment (R, mixing_time samples) — when present,
-    # trainers upload these ~2 MB of time samples and rfft ON DEVICE
-    # instead of shipping the (R, F) early spectrum over the tunnel
-    target_early_time: Optional[np.ndarray] = None
+    Same construction signature as the former dataclass; the three target
+    spectra additionally accept lazy thunks (see ``_ArrayOrThunk``).
+    """
+
+    def __init__(
+        self,
+        z_values: np.ndarray,                  # (F,) complex64
+        source_position: np.ndarray,           # (R, 3) or (1, 3)
+        listener_position: np.ndarray,         # (R, 3)
+        norm_listener_position: np.ndarray,    # (R, 3)
+        target_early_response: _ArrayOrThunk = None,  # (R, F) complex64
+        target_late_response: _ArrayOrThunk = None,   # (R, F) complex64
+        target_rir_response: _ArrayOrThunk = None,    # (R, F) complex64
+        target_common_slope_amps: Optional[np.ndarray] = None,  # (R, .., S)
+        mesh_2d: Optional[np.ndarray] = None,  # (L, 2)
+        # per-item precomputed loss features (e.g. target EDC/EDR in dB),
+        # gathered alongside the raw targets
+        precomputed: Optional[Dict[str, np.ndarray]] = None,
+        # faded early RIR segment (R, mixing_time samples) — when present,
+        # trainers upload these ~2 MB of time samples and rfft ON DEVICE
+        # instead of shipping the (R, F) early spectrum over the tunnel
+        target_early_time: Optional[np.ndarray] = None,
+        # full time-domain RIRs (R, T) float32 — when present, feature
+        # precompute uploads these (as float16: half the tunnel bytes of
+        # the complex64 spectra) and derives every spectrum on device
+        target_rir_time: Optional[np.ndarray] = None,
+    ):
+        self.z_values = z_values
+        self.source_position = source_position
+        self.listener_position = listener_position
+        self.norm_listener_position = norm_listener_position
+        self._target_early_response = target_early_response
+        self._target_late_response = target_late_response
+        self._target_rir_response = target_rir_response
+        self.target_common_slope_amps = target_common_slope_amps
+        self.mesh_2d = mesh_2d
+        self.precomputed = precomputed
+        self.target_early_time = target_early_time
+        self.target_rir_time = target_rir_time
+
+    @staticmethod
+    def _resolve(value: _ArrayOrThunk) -> Optional[np.ndarray]:
+        return value() if callable(value) else value
+
+    @property
+    def target_early_response(self) -> np.ndarray:
+        self._target_early_response = self._resolve(
+            self._target_early_response
+        )
+        return self._target_early_response
+
+    @target_early_response.setter
+    def target_early_response(self, value: _ArrayOrThunk) -> None:
+        self._target_early_response = value
+
+    @property
+    def target_late_response(self) -> np.ndarray:
+        self._target_late_response = self._resolve(self._target_late_response)
+        return self._target_late_response
+
+    @target_late_response.setter
+    def target_late_response(self, value: _ArrayOrThunk) -> None:
+        self._target_late_response = value
+
+    @property
+    def target_rir_response(self) -> np.ndarray:
+        self._target_rir_response = self._resolve(self._target_rir_response)
+        return self._target_rir_response
+
+    @target_rir_response.setter
+    def target_rir_response(self, value: _ArrayOrThunk) -> None:
+        self._target_rir_response = value
 
     @property
     def num_items(self) -> int:
@@ -54,9 +114,24 @@ def arrays_from_room_dataset(
     if src.shape[0] == 1:
         src = np.broadcast_to(src, (room_data.num_rec, 3)).copy()
     amps = room_data.amplitudes
-    # copy=False: the dataset's spectra are already complex64 (float32
-    # ffts at parse time), so these casts alias instead of cloning three
-    # ~440 MB planes at production scale
+
+    # lazy thunks: the dataset computes (and caches) each host-side
+    # spectrum only when a consumer actually reads it — the production
+    # fast path (precomputed features + device-side early rfft + float16
+    # time-sample uploads) reads none of them, skipping three ~440 MB
+    # single-core rffts at the 838 x 131072 scale. copy=False casts alias
+    # (the spectra are already complex64 from float32 ffts).
+    def _early():
+        return room_data.early_rir_mag_response.astype(np.complex64,
+                                                       copy=False)
+
+    def _late():
+        return room_data.late_rir_mag_response.astype(np.complex64,
+                                                      copy=False)
+
+    def _rir():
+        return room_data.rir_mag_response.astype(np.complex64, copy=False)
+
     return BatchArrays(
         z_values=z,
         source_position=src,
@@ -66,16 +141,11 @@ def arrays_from_room_dataset(
         norm_listener_position=room_data.norm_receiver_position.astype(
             np.float32, copy=False
         ),
-        target_early_response=room_data.early_rir_mag_response.astype(
-            np.complex64, copy=False
-        ),
-        target_late_response=room_data.late_rir_mag_response.astype(
-            np.complex64, copy=False
-        ),
-        target_rir_response=room_data.rir_mag_response.astype(
-            np.complex64, copy=False
-        ),
+        target_early_response=_early,
+        target_late_response=_late,
+        target_rir_response=_rir,
         target_early_time=getattr(room_data, "early_rir_time", None),
+        target_rir_time=getattr(room_data, "rirs32", None),
         target_common_slope_amps=(
             None if amps is None else np.asarray(amps, np.float32)
         ),

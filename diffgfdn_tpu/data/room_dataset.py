@@ -34,6 +34,31 @@ def _next_pow2(x: float) -> int:
     return int(2 ** np.ceil(np.log2(x)))
 
 
+def early_split(
+    rirs: np.ndarray, mixing_time_ms: float, fs: float, win_len_ms: float = 5.0
+) -> np.ndarray:
+    """Faded early segment alone (first mixing_time samples) — tiny, and
+    computable without materializing the ~full-length late copy."""
+    mix = ms_to_samps(mixing_time_ms, fs)
+    wl = ms_to_samps(win_len_ms, fs)
+    _, fade_out = hann_fade_windows(wl)
+    early = np.array(rirs[..., :mix])
+    early[..., -(wl // 2):] *= fade_out
+    return early
+
+
+def late_split(
+    rirs: np.ndarray, mixing_time_ms: float, fs: float, win_len_ms: float = 5.0
+) -> np.ndarray:
+    """Faded late segment alone (samples from the mixing time on)."""
+    mix = ms_to_samps(mixing_time_ms, fs)
+    wl = ms_to_samps(win_len_ms, fs)
+    fade_in, _ = hann_fade_windows(wl)
+    late = np.array(rirs[..., mix:])
+    late[..., : wl // 2] *= fade_in
+    return late
+
+
 def early_late_split(
     rirs: np.ndarray, mixing_time_ms: float, fs: float, win_len_ms: float = 5.0
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -42,14 +67,10 @@ def early_late_split(
     Returns (early, late) where early has mixing_time samples and late the
     remainder (reference: dataloader.py:156-182, 300-325).
     """
-    mix = ms_to_samps(mixing_time_ms, fs)
-    wl = ms_to_samps(win_len_ms, fs)
-    fade_in, fade_out = hann_fade_windows(wl)
-    early = np.array(rirs[..., :mix])
-    late = np.array(rirs[..., mix:])
-    early[..., -(wl // 2):] *= fade_out
-    late[..., : wl // 2] *= fade_in
-    return early, late
+    return (
+        early_split(rirs, mixing_time_ms, fs, win_len_ms),
+        late_split(rirs, mixing_time_ms, fs, win_len_ms),
+    )
 
 
 @dataclass
@@ -152,23 +173,60 @@ class RoomDataset:
         self.num_src = self.source_position.shape[0]
         self.rir_length = self.rirs.shape[-1]
 
-        # float32 ffts: scipy.fft keeps single precision (complex64 out),
-        # which is what every consumer uses anyway (arrays_from_room_dataset
-        # downcasts to complex64) — at the 838 x 131072 production scale the
-        # float64 transforms cost ~2x the time and memory for bits that are
-        # immediately discarded
-        rirs32 = np.ascontiguousarray(self.rirs, dtype=np.float32)
-        self.rir_mag_response = rfft(rirs32, n=self.num_freq_bins, axis=-1)
-        early, late = early_late_split(
-            rirs32, self.mixing_time_ms, self.sample_rate
-        )
-        # the faded early segment is tiny (mixing_time samples); keeping
-        # it lets trainers upload ~2 MB of time samples and rfft on
-        # device instead of shipping the ~440 MB (R, F) early spectrum
-        self.early_rir_time = early
-        self.early_rir_mag_response = rfft(early, n=self.num_freq_bins, axis=-1)
-        self.late_rir_mag_response = rfft(late, n=self.num_freq_bins, axis=-1)
+        # float32 time samples: scipy.fft keeps single precision
+        # (complex64 out), which is what every consumer uses anyway
+        # (arrays_from_room_dataset downcasts to complex64); for a float32
+        # pickle this is a zero-copy view
+        self._rirs32 = np.ascontiguousarray(self.rirs, dtype=np.float32)
+        # spectra are LAZY (computed on first access, cached): the
+        # production training path never reads them on the host — targets
+        # ship as time samples and every fft runs on device — so the three
+        # ~440 MB full-grid rffts (~10 s of single-core parse time at the
+        # 838 x 131072 production scale) only run for consumers that
+        # actually index the spectra (plots, non-precomputed loss paths)
+        self._lazy = {}
         self.mesh_2d = self.get_2d_meshgrid()
+
+    @property
+    def rirs32(self) -> np.ndarray:
+        """Contiguous float32 time-domain RIRs (zero-copy when possible)."""
+        return self._rirs32
+
+    @property
+    def rir_mag_response(self) -> np.ndarray:
+        if "rir" not in self._lazy:
+            self._lazy["rir"] = rfft(
+                self._rirs32, n=self.num_freq_bins, axis=-1
+            )
+        return self._lazy["rir"]
+
+    @property
+    def early_rir_time(self) -> np.ndarray:
+        """Faded early segment (R, mixing_time samples) — tiny; trainers
+        upload these ~2 MB of time samples and rfft on device instead of
+        shipping the ~440 MB (R, F) early spectrum."""
+        if "early_t" not in self._lazy:
+            self._lazy["early_t"] = early_split(
+                self._rirs32, self.mixing_time_ms, self.sample_rate
+            )
+        return self._lazy["early_t"]
+
+    @property
+    def early_rir_mag_response(self) -> np.ndarray:
+        if "early" not in self._lazy:
+            self._lazy["early"] = rfft(
+                self.early_rir_time, n=self.num_freq_bins, axis=-1
+            )
+        return self._lazy["early"]
+
+    @property
+    def late_rir_mag_response(self) -> np.ndarray:
+        if "late" not in self._lazy:
+            late = late_split(
+                self._rirs32, self.mixing_time_ms, self.sample_rate
+            )
+            self._lazy["late"] = rfft(late, n=self.num_freq_bins, axis=-1)
+        return self._lazy["late"]
 
     @property
     def num_freq_bins(self) -> int:
@@ -208,14 +266,8 @@ class RoomDataset:
     def update_rirs(self, new_rirs: np.ndarray):
         self.rirs = np.asarray(new_rirs)
         self.rir_length = self.rirs.shape[-1]
-        rirs32 = np.ascontiguousarray(self.rirs, dtype=np.float32)
-        self.rir_mag_response = rfft(rirs32, n=self.num_freq_bins, axis=-1)
-        early, late = early_late_split(
-            rirs32, self.mixing_time_ms, self.sample_rate
-        )
-        self.early_rir_time = early
-        self.early_rir_mag_response = rfft(early, n=self.num_freq_bins, axis=-1)
-        self.late_rir_mag_response = rfft(late, n=self.num_freq_bins, axis=-1)
+        self._rirs32 = np.ascontiguousarray(self.rirs, dtype=np.float32)
+        self._lazy = {}  # drop cached spectra/splits of the old RIRs
 
     def get_2d_meshgrid(self) -> Meshgrid:
         """Union of per-room uniform floor-plan grids (dataloader.py:339-368)."""

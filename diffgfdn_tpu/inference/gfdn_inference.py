@@ -24,7 +24,7 @@ from ..data.room_dataset import RoomDataset
 from ..ops.filterbanks import reconstructing_fractional_octave_bands
 from ..training.build import build_gfdn_model
 from ..training.checkpoints import load_latest_checkpoint
-from ..utils.cio import decode_batch, encode_batch
+from ..utils.cio import decode_batch, encode_batch, encode_complex
 
 logger = logging.getLogger("diffgfdn_tpu")
 
@@ -592,21 +592,47 @@ def broadband_edc_errors_device(
         ),
     )
     band_fr = jnp.asarray(fresp_ri)
-    full = gather_batch(arrays, np.arange(arrays.num_items))
-    # the program reads target_rir_response (EDC reference) and the
-    # model's early-response injection; the late plane is never read, and
-    # the early spectrum is cheaper rfft'd on device from its ~2 MB time
-    # segment than stacked + uploaded as a ~440 MB re/im plane
-    full.pop("target_late_response", None)
-    early_t = getattr(arrays, "target_early_time", None)
-    if early_t is not None:
-        full.pop("target_early_response", None)
+    # whole small planes only — never gather_batch here: its fancy-index
+    # pass would materialize (and host-rfft) every ~440 MB target plane.
+    # The program reads target_rir_response only as an EDC reference, so
+    # its spectra come from the device-side rfft of the (int8-shipped,
+    # cached, training-shared) time samples; the early injection likewise
+    # rffts its ~2 MB time segment on device; the late plane is never read
+    full = {
+        "z_values": arrays.z_values,
+        "source_position": arrays.source_position,
+        "listener_position": arrays.listener_position,
+        "norm_listener_position": arrays.norm_listener_position,
+    }
+    if arrays.target_common_slope_amps is not None:
+        full["target_common_slope_amps"] = arrays.target_common_slope_amps
+    if arrays.mesh_2d is not None:
+        full["mesh_2d"] = arrays.mesh_2d
     data = {k: jnp.asarray(v) for k, v in encode_batch(full).items()}
+    early_t = getattr(arrays, "target_early_time", None)
     if early_t is not None:
         from ..utils.cio import device_early_response_ri
 
         data["target_early_response__ri"] = device_early_response_ri(
             early_t, nfft
+        )
+    else:
+        data["target_early_response__ri"] = jnp.asarray(
+            encode_complex(
+                np.ascontiguousarray(
+                    arrays.target_early_response, np.complex64
+                )
+            )
+        )
+    if getattr(arrays, "target_rir_time", None) is not None:
+        from ..utils.cio import device_target_spectra_ri
+
+        data["target_rir_response__ri"] = device_target_spectra_ri(arrays)
+    else:
+        data["target_rir_response__ri"] = jnp.asarray(
+            encode_complex(
+                np.ascontiguousarray(arrays.target_rir_response, np.complex64)
+            )
         )
     errs = []
     for k in range(0, len(rec_indices), batch_size):

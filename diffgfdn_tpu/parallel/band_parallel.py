@@ -448,7 +448,11 @@ class BandParallelTrainer:
             full.update(arrays.precomputed)
         enc = encode_batch(full)
         repl = replicated(self.mesh)
-        out = {k: jax.device_put(np.asarray(v), repl) for k, v in enc.items()}
+        # large float32 planes ride the int32 bitcast transport (~12x
+        # faster on this tunnel — utils.cio.fast_device_put)
+        from ..utils.cio import fast_device_put
+
+        out = {k: fast_device_put(np.asarray(v), repl) for k, v in enc.items()}
         if early_t is not None:
             # device-side rfft of the tiny early time segment replaces the
             # full (R, F) early-spectrum upload (see GFDNTrainer)
@@ -522,12 +526,12 @@ class BandParallelTrainer:
         # saves another 2x); per-band chunks are sliced on device
         from ..utils.cio import device_target_spectra_ri
 
-        tgt = arrays.target_rir_response
+        n_items = arrays.num_items
         enc_dev = device_target_spectra_ri(arrays)
         bands = []
         for b in range(self.num_bands):
             edcs, edrs, sums = [], [], []
-            for k in range(0, tgt.shape[0], chunk):
+            for k in range(0, n_items, chunk):
                 e, r, su = features(
                     enc_dev[k : k + chunk], self.band_responses[b]
                 )

@@ -360,7 +360,12 @@ class GFDNTrainer:
         if arrays.precomputed:
             full.update(arrays.precomputed)
         enc = encode_batch(full)
-        out = {k: jnp.asarray(v) for k, v in enc.items()}
+        # large float32 planes (incl. the __ri spectra stacks) ride the
+        # int32 bitcast transport — ~12x faster on this tunnel (see
+        # utils.cio.fast_device_put)
+        from ..utils.cio import fast_device_put
+
+        out = {k: fast_device_put(v) for k, v in enc.items()}
         if early_t is not None:
             # rfft the tiny early time segment on device instead of
             # uploading the full (R, F) early spectrum
@@ -508,6 +513,7 @@ class GFDNTrainer:
         bs = min(self.cfg.batch_size, max(1, len(train_idx)))
         vbs = min(self.cfg.batch_size, max(1, len(valid_idx)))
 
+        _t0 = time.time()
         if self.scan_epochs:
             train_epoch = jax.jit(
                 self._make_indexed_epoch(), donate_argnums=(0, 1)
@@ -520,6 +526,7 @@ class GFDNTrainer:
             valid_step = (
                 jax.jit(self._make_indexed_step(False)) if len(vrem) else None
             )
+            logger.info("epoch-fn setup: %.1fs", time.time() - _t0)
         else:
             train_step = jax.jit(
                 self._make_indexed_step(True), donate_argnums=(0, 1)
@@ -529,7 +536,9 @@ class GFDNTrainer:
                 lambda p, d: self._normalize_params_from_data(p, d)
             )
         if start_epoch == 0:
+            _t0 = time.time()
             save_checkpoint(self.cfg.train_dir, -1, params)
+            logger.info("initial checkpoint: %.1fs", time.time() - _t0)
         normalize_per_step = not getattr(self.model, "use_svf_in_output", False)
 
         rng = np.random.RandomState(seed)
@@ -839,10 +848,10 @@ class GFDNTrainer:
         # end-to-end training wall-clock over the tunnel.
         from ..utils.cio import device_target_spectra_ri
 
-        tgt = arrays.target_rir_response
+        n_items = arrays.num_items
         enc_dev = device_target_spectra_ri(arrays)
         edcs, edrs, sums = [], [], []
-        for k in range(0, tgt.shape[0], chunk):
+        for k in range(0, n_items, chunk):
             e, r, s = features(enc_dev[k : k + chunk])
             edcs.append(e)
             edrs.append(r)
