@@ -114,7 +114,7 @@ def training_band_parallel(configs, room_data=None):
 
     from ..data.batching import (
         arrays_from_room_dataset,
-        iterate_batches,
+        init_example_batch,
         train_valid_split,
     )
     from ..data.room_dataset import ThreeRoomDataset
@@ -163,9 +163,9 @@ def training_band_parallel(configs, room_data=None):
             steps_per_epoch=max(1, len(train_idx) // bs),
             max_ir_len_ms=float(np.max(room_data.common_decay_times)) * 1e3,
         )
-        example = next(
-            iter(iterate_batches(arrays, train_idx, bs, shuffle=False))
-        )
+        # zero-target init example: bit-identical parameters without
+        # materializing the lazy host target spectra (init_example_batch)
+        example = init_example_batch(arrays, bs)
         params, opt_state = trainer.init(
             example, seeds=[c.seed for c in group]
         )

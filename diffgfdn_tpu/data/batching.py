@@ -153,6 +153,46 @@ def arrays_from_room_dataset(
     )
 
 
+def init_example_batch(arrays: BatchArrays, batch_size: int) -> Dict:
+    """Batch for ``model.init`` ONLY: real positions/z, ZERO target planes.
+
+    Flax parameter shapes and initializer draws depend on input shapes,
+    never on target values (targets are consumed by losses, and the
+    model's early-injection add is value-linear), so init on zeroed
+    targets yields bit-identical parameters — while gathering REAL
+    targets would materialize the lazy host-side full-grid rffts the
+    production fast path otherwise never runs (~10 s of single-core parse
+    work at the 838 x 131072 scale). Target planes are created already
+    truncated to INIT_FREQ_BINS, matching init_with_batch's shrink, so
+    the allocation stays tiny.
+    """
+    from ..utils.cio import INIT_FREQ_BINS
+
+    n = min(batch_size, arrays.num_items)
+    idx = np.arange(n)
+    nb = min(arrays.z_values.shape[0], INIT_FREQ_BINS)
+    zeros = np.zeros((n, nb), np.complex64)
+    batch = {
+        "z_values": arrays.z_values,
+        "source_position": arrays.source_position[idx],
+        "listener_position": arrays.listener_position[idx],
+        "norm_listener_position": arrays.norm_listener_position[idx],
+        "target_early_response": zeros,
+        "target_late_response": zeros,
+        "target_rir_response": zeros,
+    }
+    if arrays.target_common_slope_amps is not None:
+        batch["target_common_slope_amps"] = arrays.target_common_slope_amps[
+            idx
+        ]
+    if arrays.mesh_2d is not None:
+        batch["mesh_2d"] = arrays.mesh_2d
+    # arrays.precomputed (loss features) is deliberately NOT included:
+    # model.init never runs losses, and the features are device-resident —
+    # gathering them here would block on (and re-fetch) the async queue
+    return batch
+
+
 def fixed_test_split(
     num_items: int, test_ratio: float = 0.1, seed: int = 42
 ) -> Tuple[np.ndarray, np.ndarray]:

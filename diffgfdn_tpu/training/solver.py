@@ -17,6 +17,7 @@ from ..config.schema import DiffGFDNConfig
 from ..data.batching import (
     arrays_from_room_dataset,
     fixed_test_split,
+    init_example_batch,
     iterate_batches,
     train_valid_split,
 )
@@ -247,7 +248,10 @@ def run_training_var_receiver_pos(
     trainer.precompute_target_features(arrays)
     logger.info("target features: %.1fs", time.time() - _t)
     _t = time.time()
-    example = next(iter(train_batches(0)))
+    # zero-target init example: bit-identical parameters without
+    # materializing the lazy host-side target spectra (see
+    # init_example_batch)
+    example = init_example_batch(arrays, tc.batch_size)
     params = init_with_batch(model, jax.random.PRNGKey(config.seed), example)
     logger.info("init: %.1fs", time.time() - _t)
     # device-resident data path: upload once, gather batches on device

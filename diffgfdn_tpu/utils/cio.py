@@ -167,10 +167,10 @@ def device_target_spectra_ri(arrays):
     """Device-resident re/im stack of ``arrays.target_rir_response``.
 
     When the arrays carry raw time samples (``target_rir_time``), the
-    spectra are computed ON DEVICE from a float16 time upload — half the
-    tunnel bytes, and the host never runs its full-grid rfft at all (the
-    dataset's spectra are lazy). Otherwise falls back to uploading the
-    host spectra directly.
+    spectra are computed ON DEVICE from the int8-shipped time upload
+    (device_target_rir_time) — 4x fewer tunnel bytes, and the host never
+    runs its full-grid rfft at all (the dataset's spectra are lazy).
+    Otherwise falls back to uploading the host spectra directly.
 
     Cached on the arrays object: the subband pipeline precomputes target
     features once per ARCHITECTURE GROUP, and re-uploading the full

@@ -499,3 +499,46 @@ def test_upload_arrays_device_early_response_matches_host(tmp_path, room):
     np.testing.assert_allclose(
         got[..., 0] + 1j * got[..., 1], want, atol=2e-5 * scale
     )
+
+
+def test_init_example_batch_params_match_real_batch(room):
+    """Zero-target init (the production path that avoids materializing
+    the lazy host spectra) must yield BIT-IDENTICAL parameters to init on
+    a real gathered batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffgfdn_tpu.data.batching import (
+        arrays_from_room_dataset,
+        gather_batch,
+        init_example_batch,
+    )
+    from diffgfdn_tpu.training.build import build_gfdn_model
+    from diffgfdn_tpu.utils.cio import init_with_batch
+
+    import tempfile
+    from pathlib import Path
+
+    config = small_config(Path(tempfile.mkdtemp()))
+    model = build_gfdn_model(
+        config,
+        common_decay_times=room.common_decay_times,
+        band_centre_hz=room.band_centre_hz,
+        colorless_params=None,
+        variant="var_receiver",
+    )
+    arrays = arrays_from_room_dataset(room)
+    real = gather_batch(arrays, np.arange(4))
+    key = jax.random.PRNGKey(0)
+    p_real = init_with_batch(model, key, real)
+    p_zero = init_with_batch(
+        model, key, init_example_batch(arrays, batch_size=4)
+    )
+    flat_r = jax.tree_util.tree_leaves_with_path(p_real)
+    flat_z = dict(jax.tree_util.tree_leaves_with_path(p_zero))
+    assert len(flat_r) == len(flat_z)
+    for path, leaf in flat_r:
+        np.testing.assert_array_equal(
+            np.asarray(leaf), np.asarray(flat_z[path]),
+            err_msg=f"param mismatch at {path}",
+        )
