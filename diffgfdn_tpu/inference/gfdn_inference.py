@@ -559,30 +559,38 @@ def broadband_edc_errors_device(
     _SHARED = ("z_values", "mesh_2d", "sph_directions")
 
     @jax.jit
-    def errors_fn(all_params, data, idx, band_fr):
-        gathered = {}
-        for k, v in data.items():
-            base = k[: -len("__ri")] if k.endswith("__ri") else k
-            gathered[k] = v if base in _SHARED else v[idx]
-        batch = decode_batch(gathered)
-        h = jnp.zeros((idx.shape[0], f), jnp.complex64)
-        for b, mdl in enumerate(models):  # unrolled: heterogeneous params
-            out = mdl.apply(all_params[b], batch)
-            hb = out[0] if mdl.use_colorless_loss else out
-            fr = band_fr[b, :, 0] + 1j * band_fr[b, :, 1]
-            h = h + norms[b] * hb * fr
-        rir = jnp.fft.irfft(h, nfft, axis=-1)
-        if rpr != 1.0:
-            rir = rir * jnp.power(1.0 / rpr, jnp.arange(nfft))
-        tgt = batch["target_rir_response"]
-        tgt_rir = jnp.fft.irfft(tgt, nfft, axis=-1)
-        a_edc = db_fn(
-            schroeder_backward_int(rir[..., mix:end]), is_squared=True
-        )
-        t_edc = db_fn(
-            schroeder_backward_int(tgt_rir[..., mix:end]), is_squared=True
-        )
-        return jnp.mean(jnp.abs(a_edc - t_edc), axis=-1)
+    def errors_all(all_params, data, idx_mat, band_fr):
+        # ONE dispatch for every receiver batch: lax.scan over the index
+        # matrix (device-resident gathers, as in GFDNTrainer's scanned
+        # epochs) — the per-batch python loop cost a tunnel round trip per
+        # batch and left the device idle between dispatches
+        def body(carry, idx):
+            gathered = {}
+            for k, v in data.items():
+                base = k[: -len("__ri")] if k.endswith("__ri") else k
+                gathered[k] = v if base in _SHARED else v[idx]
+            batch = decode_batch(gathered)
+            h = jnp.zeros((idx.shape[0], f), jnp.complex64)
+            for b, mdl in enumerate(models):  # unrolled: heterogeneous params
+                out = mdl.apply(all_params[b], batch)
+                hb = out[0] if mdl.use_colorless_loss else out
+                fr = band_fr[b, :, 0] + 1j * band_fr[b, :, 1]
+                h = h + norms[b] * hb * fr
+            rir = jnp.fft.irfft(h, nfft, axis=-1)
+            if rpr != 1.0:
+                rir = rir * jnp.power(1.0 / rpr, jnp.arange(nfft))
+            tgt = batch["target_rir_response"]
+            tgt_rir = jnp.fft.irfft(tgt, nfft, axis=-1)
+            a_edc = db_fn(
+                schroeder_backward_int(rir[..., mix:end]), is_squared=True
+            )
+            t_edc = db_fn(
+                schroeder_backward_int(tgt_rir[..., mix:end]), is_squared=True
+            )
+            return carry, jnp.mean(jnp.abs(a_edc - t_edc), axis=-1)
+
+        _, errs = jax.lax.scan(body, 0, idx_mat)
+        return errs
 
     tc = configs[0].trainer_config
     arrays = arrays_from_room_dataset(
@@ -634,19 +642,15 @@ def broadband_edc_errors_device(
                 np.ascontiguousarray(arrays.target_rir_response, np.complex64)
             )
         )
-    errs = []
-    for k in range(0, len(rec_indices), batch_size):
-        idx = rec_indices[k : k + batch_size]
-        n_real = len(idx)
-        pad = batch_size - n_real
-        if pad:
-            idx = np.concatenate([idx, idx[:1].repeat(pad)])
-        e = np.asarray(
-            errors_fn(tuple(params), data, jnp.asarray(idx, jnp.int32),
-                      band_fr)
-        )
-        errs.append(e[:n_real])
-    return np.concatenate(errs, axis=0)
+    n = len(rec_indices)
+    pad = (-n) % batch_size
+    idx_flat = np.concatenate([rec_indices, rec_indices[:1].repeat(pad)]) \
+        if pad else rec_indices
+    idx_mat = jnp.asarray(
+        idx_flat.reshape(-1, batch_size), jnp.int32
+    )
+    errs = np.asarray(errors_all(tuple(params), data, idx_mat, band_fr))
+    return errs.reshape(-1)[:n]
 
 
 def infer_all_octave_bands_directional(
