@@ -1416,10 +1416,17 @@ def bench_native_render(dur_s: float = 2.0, block: int = 256):
     t_len = int(dur_s * FS)
     u = np.zeros(t_len, np.float32)
     u[0] = 1.0
-    ref = np.asarray(time_domain_gfdn(
-        DELAYS, jnp.asarray(gains), jnp.asarray(a), jnp.asarray(b),
-        jnp.asarray(c), jnp.asarray(u), direct_gain=0.25,
-    ))
+    import jax
+
+    # highest matmul precision for the reference: XLA:TPU's default f32
+    # matmul runs bf16-input passes, and the per-step feedback matvec
+    # error compounds over 64k steps to ~1e-3 — the C++ renderer is true
+    # f32, so the exactness assert needs a true-f32 reference
+    with jax.default_matmul_precision("highest"):
+        ref = np.asarray(time_domain_gfdn(
+            DELAYS, jnp.asarray(gains), jnp.asarray(a), jnp.asarray(b),
+            jnp.asarray(c), jnp.asarray(u), direct_gain=0.25,
+        ))
 
     renderer = NativeGFDNRenderer(DELAYS, gains, a, b)
     renderer.process(u[:block], c, direct_gain=0.25)  # warm (page-in)
